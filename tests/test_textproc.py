@@ -1,0 +1,154 @@
+"""Unit tests for the tokenization cascade and Porter stemmer.
+
+Expected values are derived by hand-tracing the reference code
+(``preprocess/TokenFilter.java``, ``preprocess/Stemmer.java``) — see each
+case's comment.
+"""
+
+from ir_search_engine_ray.textproc import (
+    STOPWORDS,
+    TokenPipeline,
+    porter_stem,
+    token_filter,
+)
+
+
+class TestTokenFilter:
+    def test_acronyms_collapse(self):
+        # TokenFilter.java:26 — single-letter dotted acronyms lose their dots
+        assert token_filter("u.s.a.") == ["usa"]
+        assert token_filter("i.b.m.") == ["ibm"]
+
+    def test_phd_not_an_acronym(self):
+        # "ph" is two letters, so ph.d. is NOT an acronym -> split on \W
+        assert token_filter("ph.d.") == ["ph", "d"]
+
+    def test_meaningful_dashes_kept(self):
+        # dashes pattern: \w+-\d+ anywhere, or ^[a-zA-Z]{1,2}-\w+
+        assert token_filter("mach-3") == ["mach-3"]
+        assert token_filter("x-15") == ["x-15"]
+        assert token_filter("re-entry") == ["re-entry"]
+        assert token_filter("co-axial") == ["co-axial"]
+
+    def test_meaningless_dashes_split(self):
+        assert token_filter("high-speed") == ["high", "speed"]
+        assert token_filter("three-dimensional") == ["three", "dimensional"]
+
+    def test_numbers_only_dropped(self):
+        assert token_filter("1400") == []
+        assert token_filter("3.5") == []
+        assert token_filter("") == []
+        assert token_filter("--") == []
+        assert token_filter("''") == []
+
+    def test_digit_prefixed_kept_whole(self):
+        # startsWithNumber -> split on \W; "10degree" has none
+        assert token_filter("10degree") == ["10degree"]
+
+    def test_punctuation_stripped_by_split(self):
+        assert token_filter("(flow)") == ["flow"]
+        assert token_filter("wing,") == ["wing"]
+        assert token_filter("a/b") == ["a", "b"]
+
+    def test_plain_word_passthrough(self):
+        assert token_filter("flow") == ["flow"]
+
+
+class TestPorter:
+    def test_vectors(self):
+        # traced against Stemmer.java (note: its own comment block claims
+        # agreed->agree, but the code yields agre — step6 computes m() over
+        # the whole word; we match the code, not the comment)
+        vectors = {
+            "caresses": "caress",
+            "ponies": "poni",
+            "ties": "ti",
+            "caress": "caress",
+            "cats": "cat",
+            "feed": "feed",
+            "agreed": "agre",
+            "matting": "mat",
+            "mating": "mate",
+            "meeting": "meet",
+            "milling": "mill",
+            "messing": "mess",
+            "meetings": "meet",
+            "boundary": "boundari",
+            "pressure": "pressur",
+            "flows": "flow",
+            "flow": "flow",
+            "reynolds": "reynold",
+            "relational": "relat",
+            "conditional": "condit",
+            "rational": "ration",
+            "sensibility": "sensibl",
+            "controlling": "control",
+            "generalization": "gener",
+            "oscillators": "oscil",
+            "this": "thi",
+            "sky": "sky",
+            "logic": "logic",
+            "apologi": "apolog",
+            "by": "by",  # len <= 2 unchanged
+            "a": "a",
+        }
+        for word, want in vectors.items():
+            assert porter_stem(word) == want, word
+
+    def test_idempotent_cache(self):
+        assert porter_stem("flowing") == porter_stem("flowing") == "flow"
+
+
+class TestPipeline:
+    def test_full_pipeline(self):
+        p = TokenPipeline("full")
+        assert p("High-speed FLOW of the U.S.A. 1400") == ["high", "speed", "flow", "usa"]
+
+    def test_stopwords_dropped_before_stem(self):
+        # "this" is a stopword -> dropped (not stemmed to "thi" and kept)
+        p = TokenPipeline("full")
+        assert p("this that on by") == []
+
+    def test_simple_mode_matches_sql_semantics(self):
+        p = TokenPipeline("simple")
+        # lower + split [^a-z]+ + stopword drop; no stemming, no tokenfilter
+        assert p("High-speed Flows, the 1400 mach-3!") == [
+            "high", "speed", "flows", "mach",
+        ]
+
+    def test_stopword_set_is_cleaned_java_list(self):
+        assert {"by", "on", "that"} <= STOPWORDS
+        assert len(STOPWORDS) == 54  # the java array has 54 entries
+
+
+class TestCodec:
+    def test_roundtrip_random(self):
+        import numpy as np
+
+        from ir_search_engine_ray.functions.codec import (
+            decode_postings,
+            encode_postings,
+            varint_decode,
+            varint_encode,
+        )
+
+        rng = np.random.default_rng(42)
+        for n in (0, 1, 7, 1000):
+            for hi in (100, 2**17, 2**34, 2**52):
+                ids = np.sort(rng.choice(hi, size=min(n, hi // 2), replace=False))
+                tfs = rng.integers(1, 70000, size=ids.size)
+                a, b = encode_postings(ids, tfs)
+                d, t = decode_postings(a, b)
+                assert np.array_equal(d, ids)
+                assert np.array_equal(t, tfs)
+        vals = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+        assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+    def test_rejects_unsorted(self):
+        import numpy as np
+        import pytest
+
+        from ir_search_engine_ray.functions.codec import encode_postings
+
+        with pytest.raises(ValueError):
+            encode_postings(np.array([3, 2]), np.array([1, 1]))
