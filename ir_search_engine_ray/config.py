@@ -1,0 +1,37 @@
+"""Pipeline configuration.
+
+The reference's knobs (``useStemming``, ``weightFunction``, ``topK``,
+compression codes, blocking factor — SURVEY.md §2.10) plus the
+distribution-specific knobs the reference never needed: salting, shard and
+worker counts, batch sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # text semantics
+    mode: str = "full"  # "full" = tokenfilter+stopword+porter; "simple" = SQL-parity
+    # distribution: salt = doc_id // ceil(N / salt_buckets) chunks every
+    # term's posting list by contiguous doc-id range; the ranges double as
+    # the doc-partitioned query shards (see stages/merge.py)
+    salt_buckets: int = 8
+    tokenize_batch_size: int = 4096
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    scheme: str = "w2"     # "w2" = the BM25/Okapi variant (primary), or "w1"
+    top_k: int = 10
+    num_actors: int = 4
+    algorithm: str = "exhaustive"  # "exhaustive" | "maxscore" | "block_max_wand"

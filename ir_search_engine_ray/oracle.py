@@ -105,9 +105,15 @@ def oracle_query(
         for doc_id, tf in plist:
             w_td = _doc_weight(idx, scheme, tf, doc_id, df)
             scores[doc_id] = scores.get(doc_id, 0.0) + w_td * w_tq
+    # Locked semantics: zero-score docs are dropped (a doc whose every
+    # matched weight is 0 has norm 0 for w1; the reference would compute
+    # 0/0 = NaN and let Java's NaN-sorts-first quirk rank it — we exclude
+    # instead, on both oracle and engine, so results may have < k rows).
     norms = idx.norms[scheme]
     out = [
-        (doc_id, s / norms[doc_id] / q_norm) for doc_id, s in scores.items()
+        (doc_id, s / norms[doc_id] / q_norm)
+        for doc_id, s in scores.items()
+        if s > 0.0
     ]
     out.sort(key=lambda t: (-t[1], t[0]))
     return out[:k]

@@ -1,0 +1,107 @@
+"""Deterministic dense doc_id assignment under stable turn ordering.
+
+The reference assigns dense doc_ids by enumerating a sorted filename list
+(``index/Indexer.java:74-88``).  Here a document is one transcript turn keyed
+by ``(conv_id, turn_idx)`` (BASELINE.json), and the doc_id must be the rank of
+that key under the global ``(conv_id, turn_idx)`` sort — *without* a global
+sort-then-enumerate pass, which would be an all-to-all shuffle whose output
+enumeration is partition-dependent.
+
+Instead: one small ``groupby('conv_id')`` aggregate yields each conversation's
+turn count; a prefix sum over conv_ids in sorted order yields each
+conversation's base offset; then ``doc_id = base[conv_id] + turn_idx`` is a
+pure per-row map — deterministic under ANY partitioning of the input, which is
+what makes posting lists reproducible and retries idempotent.
+
+Scale note (10^12 turns ≈ 3·10^10 conversations): the offsets table no longer
+fits on the driver; the same construction then runs hierarchically (range-
+partition conv_ids, per-range prefix sums + one tiny top-level pass) and the
+offset table is broadcast per range.  At sandbox scale the offsets dict is a
+few MB and is shipped once via ``ray.put`` (read per actor, not per batch).
+
+Requires turn_idx to be dense 0..n-1 within each conversation (validated from
+the same aggregate); duplicate ``(conv_id, turn_idx)`` keys would violate the
+doc-key uniqueness invariant (SURVEY.md §2.7) and fail validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max
+
+
+def conversation_offsets(ds: ray.data.Dataset) -> tuple[dict[str, int], int]:
+    """-> ({conv_id: base_doc_id}, total_doc_count).
+
+    Validates turn density: within a conversation, turn_idx must be exactly
+    0..count-1 (so ``base + turn_idx`` is a bijection onto 0..N-1).
+    """
+    agg = ds.groupby("conv_id").aggregate(Count(), Max("turn_idx")).take_all()
+    agg.sort(key=lambda r: r["conv_id"])
+    offsets: dict[str, int] = {}
+    base = 0
+    for row in agg:
+        n, max_turn = row["count()"], row["max(turn_idx)"]
+        if max_turn != n - 1:
+            raise ValueError(
+                f"conversation {row['conv_id']!r} has non-dense or duplicate "
+                f"turn_idx (count={n}, max={max_turn})"
+            )
+        offsets[row["conv_id"]] = base
+        base += n
+    return offsets, base
+
+
+def assign_doc_ids(batch: pa.Table, *, offsets_ref) -> pa.Table:
+    """``map_batches`` fn: adds ``doc_id = base[conv_id] + turn_idx``.
+
+    ``offsets_ref`` is a ``ray.put`` handle — the broadcast pattern: shipped
+    to the object store once, fetched from the local cache per task (not
+    re-serialized per batch).  The batch work is a vectorized
+    dictionary-encode + gather — no per-row Python.
+    """
+    offsets = (
+        ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) else offsets_ref
+    )
+    enc = pc.dictionary_encode(batch["conv_id"]).combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    bases = np.array([offsets[c] for c in uniq], dtype=np.int64)
+    doc_id = bases[enc.indices.to_numpy()] + batch["turn_idx"].to_numpy().astype(
+        np.int64
+    )
+    return batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+
+
+def docmap_table(offsets: dict[str, int], total: int) -> pa.Table:
+    """Materialized (doc_id, conv_id, turn_idx) mapping — the analogue of the
+    reference's docId->filename workaround (``search/Driver.java:114-124``)."""
+    convs = sorted(offsets)
+    sizes = [
+        (offsets[c2] if i + 1 < len(convs) else total) - offsets[c1]
+        for i, (c1, c2) in enumerate(zip(convs, convs[1:] + [convs[-1]]))
+    ]
+    conv_col = np.repeat(np.array(convs, dtype=object), sizes)
+    turn_col = np.concatenate([np.arange(s, dtype=np.int32) for s in sizes])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(total, dtype=np.int64)),
+            "conv_id": pa.array(conv_col, type=pa.string()),
+            "turn_idx": pa.array(turn_col, type=pa.int32()),
+        }
+    )
+
+
+def doc_ids_to_keys(
+    doc_ids: np.ndarray, offsets: dict[str, int], total: int
+) -> tuple[list[str], np.ndarray]:
+    """Vectorized doc_id -> (conv_id, turn_idx) via binary search on bases."""
+    convs = sorted(offsets)
+    bases = np.array([offsets[c] for c in convs], dtype=np.int64)
+    pos = np.searchsorted(bases, doc_ids, side="right") - 1
+    conv_ids = [convs[i] for i in pos]
+    turns = doc_ids - bases[pos]
+    return conv_ids, turns.astype(np.int32)
