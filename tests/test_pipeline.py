@@ -1,0 +1,214 @@
+"""Pipeline equivalence, rank identity, determinism and resume tests.
+
+Strategy per SURVEY.md §5: the Ray pipeline's artifacts are compared against
+the pure-Python oracle on a small synthesized corpus; the query actor path is
+compared rank-for-rank and score-for-score (1e-9) against the oracle; the
+build must be bit-stable under re-partitioned, re-ordered input; a resumed
+build must skip completed work and produce an identical index.
+"""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+TEST_SF = "sf0.0002"  # ~400 turns — fast builds
+OUT = Path("/tmp/graft_test_index")
+
+
+@pytest.fixture(scope="session")
+def corpus(ray_session):
+    from ir_search_engine_ray.datagen import fixture_dir
+
+    return fixture_dir(TEST_SF)
+
+
+@pytest.fixture(scope="session")
+def built(ray_session, corpus):
+    from ir_search_engine_ray.pipelines.index_build import build_index
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    meta = build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
+    return meta
+
+
+@pytest.fixture(scope="session")
+def oracle_idx(corpus):
+    from ir_search_engine_ray.oracle import build_oracle_index
+
+    t = pq.read_table(corpus / "transcripts.parquet")
+    rows = list(
+        zip(
+            t["conv_id"].to_pylist(),
+            t["turn_idx"].to_pylist(),
+            t["text"].to_pylist(),
+        )
+    )
+    return build_oracle_index(rows, "full")
+
+
+def _engine_postings(out_dir):
+    """chunks -> {term: [(doc_id, tf)]} with salt-order concatenation."""
+    from ir_search_engine_ray.functions.codec import decode_postings
+
+    t = pq.read_table(Path(out_dir) / "chunks")
+    rows = sorted(
+        zip(
+            t["term"].to_pylist(),
+            t["salt"].to_pylist(),
+            t["id_bytes"].to_pylist(),
+            t["tf_bytes"].to_pylist(),
+        )
+    )
+    out = {}
+    for term, _salt, idb, tfb in rows:
+        ids, tfs = decode_postings(idb, tfb)
+        out.setdefault(term, []).extend(zip(ids.tolist(), tfs.tolist()))
+    return out
+
+
+class TestIndexEquivalence:
+    def test_stats(self, built, oracle_idx):
+        assert built.N == oracle_idx.N
+        assert built.n_terms == len(oracle_idx.postings)
+        assert built.avg_doc_len == pytest.approx(oracle_idx.avg_doc_len, rel=1e-12)
+
+    def test_postings_exact(self, built, oracle_idx):
+        got = _engine_postings(built.out_dir)
+        assert set(got) == set(oracle_idx.postings)
+        for term, plist in oracle_idx.postings.items():
+            assert got[term] == plist, term
+
+    def test_doclen_exact(self, built, oracle_idx):
+        t = pq.read_table(built.out_dir / "doclen")
+        got_len = dict(zip(t["doc_id"].to_pylist(), t["doc_len"].to_pylist()))
+        got_max = dict(zip(t["doc_id"].to_pylist(), t["max_tf"].to_pylist()))
+        assert got_len == {d: v for d, v in oracle_idx.doc_len.items() if v > 0}
+        assert got_max == {d: v for d, v in oracle_idx.max_tf.items() if v > 0}
+
+    def test_df_exact(self, built, oracle_idx):
+        t = pq.read_table(built.out_dir / "df")
+        got = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        assert got == {t: len(p) for t, p in oracle_idx.postings.items()}
+
+    def test_norms_match(self, built, oracle_idx):
+        t = pq.read_table(built.out_dir / "norms")
+        for row_doc, nsq1, nsq2 in zip(
+            t["doc_id"].to_pylist(), t["nsq1"].to_pylist(), t["nsq2"].to_pylist()
+        ):
+            assert np.sqrt(nsq1) == pytest.approx(
+                oracle_idx.norms["w1"][row_doc], rel=1e-9
+            )
+            assert np.sqrt(nsq2) == pytest.approx(
+                oracle_idx.norms["w2"][row_doc], rel=1e-9
+            )
+
+
+class TestDeterminism:
+    def test_repartitioned_shuffled_input_same_index(
+        self, ray_session, corpus, built, tmp_path
+    ):
+        """Rows shuffled and split across 3 files + different batch size must
+        yield the exact same posting lists (stable turn ordering)."""
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        t = pq.read_table(corpus / "transcripts.parquet")
+        rng = np.random.default_rng(5)
+        perm = rng.permutation(t.num_rows)
+        shuffled = t.take(perm)
+        splits = np.array_split(np.arange(t.num_rows), 3)
+        in_dir = tmp_path / "shuffled"
+        in_dir.mkdir()
+        for i, idx in enumerate(splits):
+            pq.write_table(shuffled.take(idx), in_dir / f"part-{i}.parquet")
+        meta2 = build_index(
+            str(in_dir),
+            tmp_path / "idx2",
+            IndexConfig(tokenize_batch_size=777),
+            concurrency=2,
+        )
+        assert meta2.N == built.N
+        assert _engine_postings(meta2.out_dir) == _engine_postings(built.out_dir)
+
+    def test_duplicate_turn_key_rejected(self, ray_session, corpus, tmp_path):
+        import pyarrow as pa
+
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        t = pq.read_table(corpus / "transcripts.parquet")
+        dup = pa.concat_tables([t, t.slice(0, 5)])
+        pq.write_table(dup, tmp_path / "dup.parquet")
+        with pytest.raises(ValueError, match="non-dense or duplicate"):
+            build_index(str(tmp_path / "dup.parquet"), tmp_path / "idx_dup")
+
+
+class TestRankIdentity:
+    @pytest.mark.parametrize("scheme", ["w2", "w1"])
+    def test_all_queries_all_algorithms(self, built, oracle_idx, corpus, scheme):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.oracle import oracle_query
+
+        eng = QueryEngine(built)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries:
+            want = oracle_query(oracle_idx, qt, scheme, 10)
+            for alg in ("exhaustive", "maxscore", "block_max_wand"):
+                got = eng.query(qt, scheme, 10, alg)
+                assert [r["doc_id"] for r in got] == [d for d, _ in want], (qt, alg)
+                assert np.allclose(
+                    [r["score"] for r in got],
+                    [s for _, s in want],
+                    rtol=1e-9,
+                    atol=1e-12,
+                ), (qt, alg)
+
+    def test_empty_stopword_oov_queries(self, built):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built)
+        assert eng.query("") == []
+        assert eng.query("the of and by that") == []
+        assert eng.query("zzyzxzzz qqqqqx") == []
+
+    def test_result_rows_carry_conv_keys(self, built, oracle_idx):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built)
+        got = eng.query("flow mach press therm heat", "w2", 5)
+        for r in got:
+            assert oracle_idx.docmap[r["doc_id"]] == (r["conv_id"], r["turn_idx"])
+
+
+class TestResume:
+    def test_full_rebuild_is_noop(self, ray_session, built, corpus):
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        shard = built.shard_files()[0]
+        mtime = shard.stat().st_mtime_ns
+        build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
+        assert shard.stat().st_mtime_ns == mtime  # nothing rewritten
+
+    def test_partial_shard_resume(self, ray_session, built, corpus):
+        """Kill-mid-shard simulation: drop the stage marker and one shard
+        file; the resumed build must rewrite only the missing shard and end
+        with an identical index."""
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        shards = built.shard_files()
+        victim, survivor = shards[0], shards[1]
+        survivor_mtime = survivor.stat().st_mtime_ns
+        before = pq.read_table(victim)
+        (built.out_dir / "shards" / "_SUCCESS").unlink()
+        victim.unlink()
+        build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
+        marker = json.loads((built.out_dir / "shards" / "_SUCCESS").read_text())
+        by_shard = {m["shard"]: m for m in marker["shards"]}
+        assert by_shard[int(victim.stem.split("-")[1])]["skipped"] is False
+        assert by_shard[int(survivor.stem.split("-")[1])]["skipped"] is True
+        assert survivor.stat().st_mtime_ns == survivor_mtime
+        after = pq.read_table(victim)
+        assert before.equals(after)
