@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline at sf0.001: build the full-mode inverted
+  index over the synthesized transcripts fixture and run the 20-query
+  reference-style set through the actor-pool BM25 engine.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + training-data extras); each takes an ``sf_dir``.
+- ``oracle_sql()`` — DuckDB oracles for the SQL-expressible subset; the
+  full-pipeline (TokenFilter + Porter) entries are rows-only here and are
+  verified rank-identically against the pure-Python oracle in pytest.
 """
 
 from __future__ import annotations
@@ -20,25 +20,37 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ir_search_engine_ray.config import QueryConfig
+    from ir_search_engine_ray.datagen import fixture_dir
+    from ir_search_engine_ray.pipelines.entry_queries import cached_index
+    from ir_search_engine_ray.pipelines.query import QueryEngine
+
+    sf_dir = "sf0.001"
+    meta = cached_index(sf_dir, "full")
+    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10))
+    qt = pq.read_table(fixture_dir(sf_dir) / "queries.parquet")
+    rows = []
+    for qid, text in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist()):
+        for r in eng.query(text):
+            rows.append({"query_id": qid, **r})
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "rank", "doc_id", "conv_id", "turn_idx", "score"],
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ir_search_engine_ray.pipelines.entry_queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ir_search_engine_ray.pipelines.entry_queries import build_oracle_sql
+
+    # generating the fixture here guarantees the SQL's read_parquet targets
+    # exist regardless of driver call order (idempotent, atomic)
+    return build_oracle_sql("/root/testdata/sf0.01")

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force baseline — per batch, one float64 matmul of
+  the batch matrix against the broadcast query vector(s), per-batch local
+  top-k, tiny global merge.  No shuffle; scales linearly with corpus size and
+  is embarrassingly parallel.
+- ``ivf_topk``: the scale path — a driver-side k-means (few iterations over a
+  bounded sample) produces centroids; every vector is assigned to its nearest
+  centroid once (``map_batches``); queries probe only the ``nprobe`` nearest
+  centroid partitions.  Exactness is traded for reading ~nprobe/nlist of the
+  corpus; with nprobe == nlist it degenerates to exact brute force (asserted
+  in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _topk_partial(
+    batch: pa.Table, *, q_ref, k: int, id_col: str, exclude: int | None
+) -> pa.Table:
+    q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    mat = _batch_matrix(batch)
+    ids = batch[id_col].to_numpy()
+    if exclude is not None:
+        keep = ids != exclude
+        mat, ids = mat[keep], ids[keep]
+    if ids.size == 0:
+        return pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+    norms = np.linalg.norm(mat, axis=1)
+    qn = np.linalg.norm(q)
+    cos = (mat @ q) / np.maximum(norms * qn, 1e-30)
+    take = min(k, cos.size)
+    part = np.argpartition(-cos, take - 1)[:take]
+    return pa.table(
+        {
+            id_col: pa.array(ids[part], type=pa.int64()),
+            "cosine": pa.array(cos[part], type=pa.float64()),
+        }
+    )
+
+
+def cosine_topk(
+    emb_ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    exclude: int | None = None,
+) -> pa.Table:
+    """Exact cosine top-k; ties break on ascending id."""
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    partial = emb_ds.map_batches(
+        _topk_partial,
+        fn_kwargs={"q_ref": q_ref, "k": k, "id_col": id_col, "exclude": exclude},
+        batch_format="pyarrow",
+    )
+    rows = partial.take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cos = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order]),
+            "cosine": pa.array(np.round(cos[order], 6)),
+        }
+    )
+
+
+def train_centroids(
+    emb_ds: ray.data.Dataset, nlist: int, *, sample: int = 4096, iters: int = 8,
+    seed: int = 3,
+) -> np.ndarray:
+    """Driver-side mini k-means over a bounded sample (deterministic)."""
+    rows = emb_ds.limit(sample).take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(nlist, mat.shape[0]), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = mat[m].mean(axis=0)
+    return cent
+
+
+def assign_clusters(batch: pa.Table, *, cent_ref, id_col: str) -> pa.Table:
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    mat = _batch_matrix(batch)
+    d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return batch.append_column(
+        "cluster", pa.array(d.argmin(axis=1).astype(np.int32))
+    )
+
+
+def ivf_topk(
+    emb_ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    exclude: int | None = None,
+) -> pa.Table:
+    """IVF: probe only the nprobe nearest centroid partitions."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cent = train_centroids(emb_ds, nlist)
+    cent_ref = ray.put(cent)
+    assigned = emb_ds.map_batches(
+        assign_clusters,
+        fn_kwargs={"cent_ref": cent_ref, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[: min(nprobe, cent.shape[0])]
+    import pyarrow.compute as pc
+
+    probe_set = pa.array(probe.astype(np.int32))
+    probed = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b["cluster"], value_set=probe_set)),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(probed, q, k, id_col=id_col, exclude=exclude)

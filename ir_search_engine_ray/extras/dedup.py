@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table, each expressed Ray-Data-first:
+
+- exact: hash-partition on the full text, keep the lowest doc_id per group
+  (one ``groupby`` shuffle; SQL-oracle-checkable);
+- MinHash + LSH: shingle -> vectorized minhash signatures -> band buckets ->
+  ``groupby(bucket)`` candidate pairs -> exact-Jaccard verification;
+- SimHash: 64-bit weighted token hash, candidate pairs via 16-bit band
+  buckets within Hamming distance;
+- n-gram Jaccard: exact similarity for a candidate pair set.
+
+Scale notes: candidate generation is shuffle-based (buckets are the group
+key) so no stage ever holds all pairs; verification re-reads only candidate
+docs.  At sandbox scale the verify step broadcasts the candidate doc texts
+(``ray.put`` once); at 10^12 docs it becomes a hash join of the pair list
+against the corpus on doc_id — the bucket machinery is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .textstats import _tokens
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per distinct text: surviving (minimum) doc_id + copy count."""
+    g = docs_ds.groupby("text").aggregate(Min("doc_id"), Count())
+    return g.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["min(doc_id)"],
+                "n_copies": b["count()"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _shingles(text: str, k: int) -> set[int]:
+    toks = _tokens(text)
+    if len(toks) < k:
+        return {hash_shingle(" ".join(toks))} if toks else set()
+    return {hash_shingle(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+def hash_shingle(s: str) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode()) & 0xFFFFFFFF
+
+
+def _perm_params(num_perm: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    batch: pa.Table, *, num_perm: int, shingle_k: int
+) -> pa.Table:
+    """Vectorized minhash: for each doc, sig_i = min over shingles of
+    (a_i * h + b_i) mod M."""
+    a, b = _perm_params(num_perm)
+    sigs = np.full((batch.num_rows, num_perm), _MERSENNE, dtype=np.int64)
+    for r, text in enumerate(batch["text"].to_pylist()):
+        sh = np.fromiter(_shingles(text, shingle_k), dtype=np.int64)
+        if sh.size == 0:
+            continue
+        # (num_perm, n_shingles) -> min along shingles; object-safe modmul
+        vals = (np.multiply.outer(a, sh, dtype=np.object_) + b[:, None]) % _MERSENNE
+        sigs[r] = vals.min(axis=1).astype(np.int64)
+    off = np.arange(0, (batch.num_rows + 1) * num_perm, num_perm, dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.ListArray.from_arrays(pa.array(off), pa.array(sigs.ravel())),
+        }
+    )
+
+
+def band_buckets(batch: pa.Table, *, bands: int) -> pa.Table:
+    """Explode each signature into (band, bucket_hash, doc_id) rows."""
+    import zlib
+
+    out_band, out_bucket, out_doc = [], [], []
+    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+        rows_per_band = len(sig) // bands
+        for bi in range(bands):
+            chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+            key = zlib.crc32(np.array(chunk, dtype=np.int64).tobytes())
+            out_band.append(bi)
+            out_bucket.append(key)
+            out_doc.append(doc_id)
+    return pa.table(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "bucket": pa.array(out_bucket, type=pa.int64()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+        }
+    )
+
+
+def _pairs_from_bucket(group: pa.Table) -> pa.Table:
+    docs = sorted(group["doc_id"].to_pylist())
+    a, b = [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a.append(docs[i])
+            b.append(docs[j])
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
+def minhash_lsh_pairs(
+    docs_ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Candidate near-duplicate pairs (doc_a < doc_b), deduplicated."""
+    sigs = docs_ds.map_batches(
+        minhash_signatures,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    )
+    buckets = sigs.map_batches(
+        band_buckets, fn_kwargs={"bands": bands}, batch_format="pyarrow"
+    )
+    pairs = buckets.groupby(["band", "bucket"]).map_groups(
+        _pairs_from_bucket, batch_format="pyarrow"
+    )
+    # a pair found in several bands collapses to one row
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def verify_jaccard(
+    pairs_ds: ray.data.Dataset,
+    docs_ds: ray.data.Dataset,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> ray.data.Dataset:
+    """Exact word-shingle Jaccard for each candidate pair; keeps pairs at or
+    above ``threshold``.  Candidate texts are broadcast (small side)."""
+    texts = {}
+    for row in docs_ds.select_columns(["doc_id", "text"]).iter_rows():
+        texts[row["doc_id"]] = row["text"]
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        jac = []
+        for x, y in zip(da, db):
+            sa, sb = _shingles(tx[x], shingle_k), _shingles(tx[y], shingle_k)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac.append(inter / union if union else 0.0)
+        t = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(np.round(jac, 6), type=pa.float64()),
+            }
+        )
+        return t.filter(pa.compute.field("jaccard") >= threshold)
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_signatures(batch: pa.Table, *, bits: int = 64) -> pa.Table:
+    """Classic SimHash over token unigrams weighted by tf."""
+    out = []
+    for text in batch["text"].to_pylist():
+        acc = np.zeros(bits, dtype=np.int64)
+        toks = _tokens(text)
+        for tok in set(toks):
+            tf = toks.count(tok)
+            h = _token_hash64(tok)
+            bitvec = (h >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bitvec.astype(bool), tf, -tf)
+        sig = int(
+            np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)
+            )
+        )
+        out.append(sig - (1 << 63))  # store as signed int64
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(out, type=pa.int64()),
+        }
+    )
+
+
+def _token_hash64(tok: str) -> np.uint64:
+    import hashlib
+
+    return np.uint64(
+        int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+    )
+
+
+def simhash_candidate_pairs(
+    docs_ds: ray.data.Dataset, *, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: bucket on each of the four 16-bit bands
+    (any pair within Hamming distance 3 of a 64-bit hash agrees exactly on
+    at least one band), then verify the Hamming distance."""
+    sigs = docs_ds.map_batches(simhash_signatures, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy()
+        sh = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        bands_out, bucket_out, doc_out, sig_out = [], [], [], []
+        for bi in range(4):
+            bucket = (sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            bands_out.append(np.full(doc.size, bi, dtype=np.int32))
+            bucket_out.append(bucket.astype(np.int64))
+            doc_out.append(doc)
+            sig_out.append(sh.view(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_out)),
+                "bucket": pa.array(np.concatenate(bucket_out)),
+                "doc_id": pa.array(np.concatenate(doc_out)),
+                "simhash": pa.array(np.concatenate(sig_out)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = group["doc_id"].to_pylist()
+        sigs_ = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(docs)
+        a, b, d = [], [], []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                ham = int(bin(int(sigs_[i] ^ sigs_[j])).count("1"))
+                if ham <= max_hamming:
+                    a.append(docs[i])
+                    b.append(docs[j])
+                    d.append(ham)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "hamming": pa.array(d, type=pa.int32()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All are single-pass ``map_batches`` transforms (no shuffle), vectorized where
+the kernel allows.  ``token_count`` / ``quality_signals`` / ``lang_id`` have
+exact DuckDB SQL oracles (see ``__ray_entry__.oracle_sql``); the rolling-hash
+fingerprint is checked by unit test (not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..textproc.stopwords import STOPWORDS
+
+_TOKEN = re.compile(r"[a-z]+")
+
+# tiny per-language function-word sets for the heuristic language guesser;
+# deliberately small so the same logic is expressible in the SQL oracle
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "es": ("el", "los", "las", "una", "que", "por", "para", "con"),
+    "de": ("der", "die", "das", "und", "nicht", "ein", "mit", "für"),
+}
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN.findall(text.lower())
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    """doc_id -> number of [a-z]+ tokens (whitespace-agnostic)."""
+    counts = [len(_tokens(t)) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def quality_signals(batch: pa.Table) -> pa.Table:
+    """Cheap quality heuristics: length, alpha ratio, stopword ratio, mean
+    token length — the usual pre-training corpus filters."""
+    texts = batch["text"].to_pylist()
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    n_alpha = np.array(
+        [sum(c.isalpha() for c in t) for t in texts], dtype=np.int64
+    )
+    tok_lists = [_tokens(t) for t in texts]
+    n_tokens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    n_stop = np.array(
+        [sum(t in STOPWORDS for t in ts) for ts in tok_lists], dtype=np.int64
+    )
+    tok_chars = np.array([sum(len(t) for t in ts) for ts in tok_lists], np.int64)
+    safe = np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "alpha_ratio": pa.array(
+                np.round(n_alpha / np.maximum(n_chars, 1), 6), type=pa.float64()
+            ),
+            "stopword_ratio": pa.array(
+                np.round(n_stop / safe, 6), type=pa.float64()
+            ),
+            "mean_token_len": pa.array(
+                np.round(tok_chars / safe, 6), type=pa.float64()
+            ),
+        }
+    )
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Heuristic language guess: argmax of per-language marker-word hit
+    rates; 'unk' when nothing matches.  Ties break in fixed ('en','fr','es',
+    'de') order — the SQL oracle encodes the same order."""
+    texts = batch["text"].to_pylist()
+    langs = []
+    for t in texts:
+        toks = _tokens(t)
+        best_lang, best_hits = "unk", 0
+        for lang, markers in LANG_MARKERS.items():
+            hits = sum(tok in markers for tok in toks)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        langs.append(best_lang)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_guess": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def doc_fingerprint(batch: pa.Table) -> pa.Table:
+    """Order-sensitive rolling (polynomial) hash of the token stream —
+    a cheap whole-document fingerprint for exact-content matching that
+    ignores whitespace/punctuation differences."""
+    out = []
+    for t in batch["text"].to_pylist():
+        h = 0
+        for tok in _tokens(t):
+            th = hash_token(tok)
+            h = (h * _FP_BASE + th) % _FP_MOD
+        out.append(h)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(out, type=pa.int64()),
+        }
+    )
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic (process-independent) token hash."""
+    import zlib
+
+    return zlib.crc32(tok.encode()) & 0xFFFFFFFF
+
+
+def run(docs_ds: ray.data.Dataset, fn) -> ray.data.Dataset:
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

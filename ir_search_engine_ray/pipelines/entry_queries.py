@@ -1,0 +1,498 @@
+"""Driver-contract queries and their DuckDB SQL oracles.
+
+Two families:
+
+1. IR-core queries over the synthesized transcripts fixture (the input table
+   mandated by BASELINE.json; the driver's testdata has no transcripts, so
+   ``datagen.fixture_dir`` materializes it deterministically under /tmp and
+   the SQL oracles read the same parquet via ``read_parquet``).  The
+   SQL-checkable variants use the ``simple`` tokenizer mode (lowercase,
+   split on ``[^a-z]+``, stopword drop) which is exactly expressible in SQL;
+   the full reference-parity mode (TokenFilter + Porter) is not
+   SQL-expressible, so its entries are rows-only for the driver and are
+   instead verified rank-identically against the pure-Python oracle in
+   pytest (tests/test_pipeline.py).
+
+2. Training-data extras over the driver-provided ``documents`` /
+   ``embeddings`` views (dedup, text stats, ANN).
+
+Column-name discipline: every computed column is named identically in the
+Ray result and the SQL (driver hashes values after sorting columns by name).
+Float columns are rounded to 6 decimals on BOTH sides; ratio-like outputs are
+returned as integer numerators/denominators to avoid
+round-half-even-vs-half-away divergence between numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import IndexConfig, QueryConfig
+from ..datagen import fixture_dir
+from ..extras import ann, dedup, textstats
+from ..sources.transcripts import read_transcripts
+from ..stages.docids import assign_doc_ids, conversation_offsets, docmap_table
+from ..textproc import TokenPipeline
+from ..textproc.stopwords import STOPWORDS_SQL_LIST
+from .index_build import build_index
+from .query import QueryEngine
+
+INDEX_CACHE = Path("/tmp/graft_idx")
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    return str(fixture_dir(sf_dir) / "transcripts.parquet")
+
+
+def _queries_path(sf_dir: str) -> str:
+    return str(fixture_dir(sf_dir) / "queries.parquet")
+
+
+_PIPES: dict[str, TokenPipeline] = {}
+
+
+def _tokenize_batch_simple(batch: pa.Table) -> pa.Table:
+    """Function-form tokenizer (simple mode) — module-global pipe per worker
+    process, so the memo cache persists across batches without an actor."""
+    pipe = _PIPES.setdefault("simple", TokenPipeline("simple"))
+    doc_ids = batch["doc_id"].to_numpy()
+    terms, docs, tfs = [], [], []
+    for doc_id, text in zip(doc_ids, batch["text"].to_pylist()):
+        counts = pipe.term_counts(text)
+        terms.extend(counts.keys())
+        docs.extend([doc_id] * len(counts))
+        tfs.extend(counts.values())
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+
+
+def simple_triples(sf_dir: str) -> ray.data.Dataset:
+    """(term, doc_id, tf) triples of the fixture corpus, simple mode."""
+    path = _transcripts_path(sf_dir)
+    ds = read_transcripts(path)
+    offsets, _n = conversation_offsets(
+        read_transcripts(path, columns=["conv_id", "turn_idx"])
+    )
+    return ds.map_batches(
+        assign_doc_ids,
+        fn_kwargs={"offsets_ref": ray.put(offsets)},
+        batch_format="pyarrow",
+    ).map_batches(_tokenize_batch_simple, batch_format="pyarrow")
+
+
+def cached_index(sf_dir: str, mode: str):
+    out = INDEX_CACHE / f"{Path(sf_dir).name}-{mode}"
+    return build_index(_transcripts_path(sf_dir), out, IndexConfig(mode=mode))
+
+
+def topk_table(sf_dir: str, mode: str, scheme: str, k: int = 10) -> pa.Table:
+    """Top-k for every fixture query as one table (query_id, doc_id, score)."""
+    import pyarrow.parquet as pq
+
+    meta = cached_index(sf_dir, mode)
+    eng = QueryEngine(meta, QueryConfig(scheme=scheme, top_k=k))
+    qt = pq.read_table(_queries_path(sf_dir))
+    qids, docs, scores = [], [], []
+    for qid, text in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist()):
+        for row in eng.query(text, scheme, k):
+            qids.append(qid)
+            docs.append(row["doc_id"])
+            scores.append(round(row["score"], 6))
+    # query_id stays int32 to match the SQL oracle's parquet passthrough type
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IR-core query callables (sf_dir -> result)
+
+
+def q_docmap(sf_dir: str) -> pa.Table:
+    path = _transcripts_path(sf_dir)
+    offsets, total = conversation_offsets(
+        read_transcripts(path, columns=["conv_id", "turn_idx"])
+    )
+    return docmap_table(offsets, total)
+
+
+def q_postings_simple(sf_dir: str) -> ray.data.Dataset:
+    return simple_triples(sf_dir)
+
+
+def q_doclen_simple(sf_dir: str) -> ray.data.Dataset:
+    dl = simple_triples(sf_dir).groupby("doc_id").aggregate(Sum("tf"), Max("tf"))
+    return dl.rename_columns({"sum(tf)": "doc_len", "max(tf)": "max_tf"})
+
+
+def q_df_simple(sf_dir: str) -> ray.data.Dataset:
+    df = simple_triples(sf_dir).groupby("term").aggregate(Count())
+    return df.rename_columns({"count()": "df"})
+
+
+def q_collection_stats_simple(sf_dir: str) -> pa.Table:
+    tri = simple_triples(sf_dir).materialize()
+    n_postings = tri.count()
+    n_terms = tri.select_columns(["term"]).unique("term")
+    total_len = tri.sum("tf")
+    _offsets, n_docs = conversation_offsets(
+        read_transcripts(
+            _transcripts_path(sf_dir), columns=["conv_id", "turn_idx"]
+        )
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_terms": pa.array([len(n_terms)], type=pa.int64()),
+            "n_postings": pa.array([n_postings], type=pa.int64()),
+            "total_doc_len": pa.array([total_len], type=pa.int64()),
+            "avg_doc_len": pa.array(
+                [round(total_len / n_docs, 6)], type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_topk_w2_simple(sf_dir: str) -> pa.Table:
+    return topk_table(sf_dir, "simple", "w2")
+
+
+def q_topk_w1_simple(sf_dir: str) -> pa.Table:
+    return topk_table(sf_dir, "simple", "w1")
+
+
+def q_topk_w2_full(sf_dir: str) -> pa.Table:
+    return topk_table(sf_dir, "full", "w2")
+
+
+def q_topk_w1_full(sf_dir: str) -> pa.Table:
+    return topk_table(sf_dir, "full", "w1")
+
+
+def q_index_stats_full(sf_dir: str) -> pa.Table:
+    meta = cached_index(sf_dir, "full")
+    return pa.table(
+        {
+            "n_docs": pa.array([meta.N], type=pa.int64()),
+            "n_terms": pa.array([meta.n_terms], type=pa.int64()),
+            "n_postings": pa.array([meta.n_postings], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data extras over driver-provided tables
+
+
+def _docs_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    return dedup.exact_dedup(_docs_ds(sf_dir))
+
+
+def q_token_count(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        textstats.token_count, batch_format="pyarrow"
+    )
+
+
+def q_quality_signals(sf_dir: str) -> ray.data.Dataset:
+    # integer-only output (see module docstring): numerators/denominators
+    def signals_int(batch: pa.Table) -> pa.Table:
+        full = textstats.quality_signals(batch)
+        texts = batch["text"].to_pylist()
+        toks = [textstats._tokens(t) for t in texts]
+        import numpy as np
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": full["n_chars"],
+                "n_tokens": full["n_tokens"],
+                # ASCII letters only, to match the SQL oracle's regexp
+                "n_alpha": pa.array(
+                    np.array(
+                        [sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t)
+                         for t in texts]
+                    ),
+                    type=pa.int64(),
+                ),
+                "n_stopword": pa.array(
+                    np.array(
+                        [
+                            sum(tok in textstats.STOPWORDS for tok in ts)
+                            for ts in toks
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+                "token_chars": pa.array(
+                    np.array([sum(len(tok) for tok in ts) for ts in toks]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(signals_int, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir).map_batches(textstats.lang_id, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        textstats.doc_fingerprint, batch_format="pyarrow"
+    )
+
+
+def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q_vec = np.array(
+        emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    return ann.cosine_topk(emb, q_vec, k=10, exclude=0)
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    pairs = dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
+    return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return dedup.simhash_candidate_pairs(_docs_ds(sf_dir), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+
+
+def _sql_tokens_cte(fx: str) -> str:
+    """Shared CTE prefix: docs with doc_ids, simple-mode tokens, tf/df/dl."""
+    return f"""
+docs AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text
+  FROM read_parquet('{fx}/transcripts.parquet')
+),
+rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM docs
+),
+toks AS (
+  SELECT doc_id, term FROM rawtok
+  WHERE term <> '' AND term NOT IN {STOPWORDS_SQL_LIST}
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len, max(tf) AS max_tf
+       FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS N,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM docs) AS avgdl
+)"""
+
+
+def _sql_topk(fx: str, scheme: str) -> str:
+    if scheme == "w2":
+        w_expr = (
+            "0.4 + 0.6 * (tf.tf / (tf.tf + 0.5 + 1.5 * (dl.doc_len / s.avgdl)))"
+            " * ln(s.N // df.df) / ln(s.N)"
+        )
+    else:
+        w_expr = (
+            "(0.4 + 0.6 * ln(tf.tf + 0.5) / ln(dl.max_tf + 1.0))"
+            " * ln(s.N // df.df) / ln(s.N)"
+        )
+    return f"""
+WITH {_sql_tokens_cte(fx)},
+w AS (
+  SELECT tf.term, tf.doc_id, {w_expr} AS wd
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(wd * wd)) AS nrm FROM w GROUP BY 1),
+qdocs AS (
+  SELECT query_id, text FROM read_parquet('{fx}/queries.parquet')
+),
+qraw AS (
+  SELECT query_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM qdocs
+),
+qtoks AS (
+  SELECT query_id, term FROM qraw
+  WHERE term <> '' AND term NOT IN {STOPWORDS_SQL_LIST}
+),
+qtf AS (SELECT query_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+qmax AS (SELECT query_id, max(tf) AS max_tf FROM qtf GROUP BY 1),
+qw AS (
+  SELECT q.query_id, q.term,
+         CASE WHEN df.df IS NULL THEN 0.0
+              ELSE (0.4 + 0.6 * ln(q.tf + 0.5) / ln(qm.max_tf + 1.0))
+                   * ln(s.N // df.df) / ln(s.N)
+         END AS wq
+  FROM qtf q JOIN qmax qm USING (query_id)
+       LEFT JOIN df ON q.term = df.term, stats s
+),
+qnorm AS (SELECT query_id, sqrt(sum(wq * wq)) AS qn FROM qw GROUP BY 1),
+dots AS (
+  SELECT q.query_id, w.doc_id, sum(w.wd * q.wq) AS dot
+  FROM qw q JOIN w ON q.term = w.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, d.dot / n.nrm / qn.qn AS score
+  FROM dots d JOIN norms n USING (doc_id) JOIN qnorm qn USING (query_id)
+  WHERE d.dot > 0
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score
+FROM ranked WHERE rnk <= 10
+"""
+
+
+def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    fx = str(fixture_dir(sf_dir))
+    stop = STOPWORDS_SQL_LIST
+    return {
+        "docmap": f"""
+SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+       conv_id, turn_idx
+FROM read_parquet('{fx}/transcripts.parquet')
+""",
+        "postings_simple": f"WITH {_sql_tokens_cte(fx)} SELECT term, doc_id, tf FROM tf",
+        "doclen_simple": f"WITH {_sql_tokens_cte(fx)} SELECT doc_id, doc_len, max_tf FROM dl",
+        "df_simple": f"WITH {_sql_tokens_cte(fx)} SELECT term, df FROM df",
+        "collection_stats_simple": f"""
+WITH {_sql_tokens_cte(fx)}
+SELECT (SELECT count(*) FROM docs) AS n_docs,
+       (SELECT count(*) FROM df) AS n_terms,
+       (SELECT count(*) FROM tf) AS n_postings,
+       (SELECT sum(doc_len) FROM dl)::BIGINT AS total_doc_len,
+       round((SELECT sum(doc_len) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM docs), 6) AS avg_doc_len
+""",
+        "topk_w2_simple": _sql_topk(fx, "w2"),
+        "topk_w1_simple": _sql_topk(fx, "w1"),
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+        "token_count": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS n_tokens
+FROM documents
+""",
+        "quality_signals": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+SELECT d.doc_id,
+       length(d.text) AS n_chars,
+       len(t.ts) AS n_tokens,
+       length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       len(list_filter(t.ts, x -> x IN {stop})) AS n_stopword,
+       coalesce(list_sum(list_transform(t.ts, x -> length(x))), 0)::BIGINT AS token_chars
+FROM documents d JOIN toks t USING (doc_id)
+""",
+        "lang_id": _sql_lang_id(),
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 10
+""",
+    }
+
+
+def _sql_lang_id() -> str:
+    from ..extras.textstats import LANG_MARKERS
+
+    def marker_list(lang: str) -> str:
+        return "(" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + ")"
+
+    hits = ",\n  ".join(
+        f"len(list_filter(ts, x -> x IN {marker_list(lang)})) AS hits_{lang}"
+        for lang in LANG_MARKERS
+    )
+    # argmax with strict > and fixed en,fr,es,de precedence (matches python)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+  {hits}
+  FROM toks
+)
+SELECT doc_id,
+       CASE
+         WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0
+           THEN 'unk'
+         WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de
+           THEN 'en'
+         WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+         WHEN hits_es >= hits_de THEN 'es'
+         ELSE 'de'
+       END AS lang_guess
+FROM hits
+"""
+
+
+def build_queries() -> dict:
+    return {
+        "docmap": q_docmap,
+        "postings_simple": q_postings_simple,
+        "doclen_simple": q_doclen_simple,
+        "df_simple": q_df_simple,
+        "collection_stats_simple": q_collection_stats_simple,
+        "topk_w2_simple": q_topk_w2_simple,
+        "topk_w1_simple": q_topk_w1_simple,
+        "topk_w2_full": q_topk_w2_full,
+        "topk_w1_full": q_topk_w1_full,
+        "index_stats_full": q_index_stats_full,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_signals": q_quality_signals,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
