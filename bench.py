@@ -1,0 +1,224 @@
+"""Headline benchmark for the Ray-Data IR engine.
+
+Default run (`python bench.py`):
+  - input scale from $GRAFT_SF_DIR (default /root/testdata/sf0.1); the
+    transcripts fixture for that scale is synthesized deterministically
+    (datagen.fixture_dir) — sf0.1 -> ~200k turns;
+  - ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32);
+  - times the headline pipelines FRESH (checkpoint dirs wiped first so
+    resume never skews timing): full-mode index build, the 20-query BM25
+    top-10 set (per-query latencies -> p50/p95), and the training-data
+    extras (MinHash dedup, exact dedup, ANN top-k) over the driver's
+    documents/embeddings tables at the same sf;
+  - prints ONE JSON line.
+
+Scaling run (`python bench.py --scaling`): runs the index build twice in
+FRESH subprocesses at num_cpus=8 and num_cpus=32 on the same input and
+reports throughput at both plus scaling efficiency
+(= thr_32 / (4 * thr_8)); criterion >= 0.8 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = Path("/tmp/graft_bench")
+# enough salt buckets that the merge shuffle + shard write can use all CPUs
+SALT_BUCKETS = 32
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _fresh_dir(name: str) -> Path:
+    out = BENCH_ROOT / name
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    return out
+
+
+def bench_index_build(sf_dir: str, num_cpus: int) -> dict:
+    from ir_search_engine_ray.config import IndexConfig
+    from ir_search_engine_ray.datagen import fixture_dir
+    from ir_search_engine_ray.pipelines.index_build import build_index
+
+    fx = fixture_dir(sf_dir)  # generated before the clock starts
+    out = _fresh_dir(f"idx-{Path(sf_dir).name}-c{num_cpus}")
+    t0 = time.perf_counter()
+    meta = build_index(
+        fx / "transcripts.parquet",
+        out,
+        IndexConfig(mode="full", salt_buckets=SALT_BUCKETS),
+    )
+    secs = time.perf_counter() - t0
+    return {
+        "seconds": secs,
+        "n_turns": meta.N,
+        "turns_per_sec": meta.N / secs,
+        "n_postings": meta.n_postings,
+        "meta": meta,
+    }
+
+
+def bench_queries(meta, sf_dir: str, rounds: int = 5) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ir_search_engine_ray.config import QueryConfig
+    from ir_search_engine_ray.datagen import fixture_dir
+    from ir_search_engine_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10, algorithm="block_max_wand"))
+    qt = pq.read_table(fixture_dir(sf_dir) / "queries.parquet")
+    texts = qt["text"].to_pylist()
+    for t in texts[:3]:  # warm up actors / code paths off the clock
+        eng.query(t)
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        for t in texts:
+            q0 = time.perf_counter()
+            eng.query(t)
+            lat.append(time.perf_counter() - q0)
+    total = time.perf_counter() - t0
+    lat_ms = np.array(lat) * 1e3
+    return {
+        "seconds": total,
+        "n_queries": len(lat),
+        "qps": len(lat) / total,
+        "p50_ms": float(np.percentile(lat_ms, 50)),
+        "p95_ms": float(np.percentile(lat_ms, 95)),
+    }
+
+
+def bench_extras(sf_dir: str) -> dict:
+    """Training-data extras over the driver's documents/embeddings tables."""
+    import numpy as np
+    import ray.data
+
+    from ir_search_engine_ray.extras import ann, dedup
+
+    out: dict[str, float] = {}
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docs).count()
+    out["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs)
+    dedup.verify_jaccard(pairs, docs, threshold=0.5).count()
+    out["dedup_minhash"] = time.perf_counter() - t0
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    q_vec = np.array(emb.take(1)[0]["embedding"], dtype=np.float64)
+    ann.cosine_topk(emb, q_vec, k=10, exclude=0)
+    out["ann_cosine_topk"] = time.perf_counter() - t0
+    return out
+
+
+def run_main() -> None:
+    import ray
+
+    _init_ray(NUM_CPUS)
+    t_all = time.perf_counter()
+    build = bench_index_build(SF_DIR, NUM_CPUS)
+    queries = bench_queries(build["meta"], SF_DIR)
+    extras = bench_extras(SF_DIR)
+    total = time.perf_counter() - t_all
+    result = {
+        "metric": "headline index build + BM25 query set + extras, wall sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build_full": round(build["seconds"], 3),
+            "query_set_w2_bmw": round(queries["seconds"], 3),
+            **{k: round(v, 3) for k, v in extras.items()},
+        },
+        "sf": float(Path(SF_DIR).name[2:]),
+        "num_cpus": NUM_CPUS,
+        "n_turns": build["n_turns"],
+        "turns_per_sec": round(build["turns_per_sec"], 1),
+        "query_p50_ms": round(queries["p50_ms"], 2),
+        "query_p95_ms": round(queries["p95_ms"], 2),
+        "query_qps": round(queries["qps"], 1),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def run_child(num_cpus: int) -> None:
+    """Scaling child: fresh process, index build only, JSON on stdout."""
+    import ray
+
+    _init_ray(num_cpus)
+    build = bench_index_build(SF_DIR, num_cpus)
+    print(
+        json.dumps(
+            {
+                "num_cpus": num_cpus,
+                "seconds": round(build["seconds"], 3),
+                "n_turns": build["n_turns"],
+                "turns_per_sec": round(build["turns_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> None:
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child", str(n)],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).parent),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise SystemExit(f"scaling child num_cpus={n} failed")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    print(
+        json.dumps(
+            {
+                "metric": f"index build scaling {lo}->{hi} cpus",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sf": float(Path(SF_DIR).name[2:]),
+                "runs": results,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--child" in sys.argv:
+        run_child(int(sys.argv[sys.argv.index("--child") + 1]))
+    else:
+        run_main()

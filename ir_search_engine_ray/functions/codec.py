@@ -91,6 +91,77 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]
     return varint_encode(gaps), varint_encode(np.asarray(tfs))
 
 
+def _binary_column_bytes(col: "object") -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column -> (uint8 data, int64 per-row byte boundaries).
+
+    Zero-copy view onto the column's offsets/data buffers; boundaries are
+    rebased so ``data[boundaries[i]:boundaries[i+1]]`` is row i's payload.
+    """
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    if arr.null_count:
+        raise ValueError("binary column must not contain nulls")
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=width)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    return data, offsets - offsets[0]
+
+
+def varint_decode_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole Arrow binary column of varint streams in ONE pass.
+
+    -> (flat uint64 values across all rows, int64 per-row value counts).
+    Equivalent to ``[varint_decode(row) for row in col]`` without the
+    per-row Python loop — used by the merge/finalize/query hot paths.
+    """
+    raw, bounds = _binary_column_bytes(col)
+    n_rows = bounds.size - 1
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_rows, dtype=np.int64)
+    is_last = (raw & 0x80) == 0
+    value_idx = np.zeros(raw.size, dtype=np.int64)
+    value_idx[1:] = np.cumsum(is_last[:-1])
+    n_values = int(is_last.sum())
+    # every row boundary must fall on a value boundary
+    cum_last = np.cumsum(is_last)
+    at = np.where(bounds > 0, cum_last[np.minimum(bounds, raw.size) - 1], 0)
+    counts = np.diff(at)
+    if not is_last[-1] or int(at[-1]) != n_values:
+        raise ValueError("truncated varint stream")
+    starts = np.zeros(n_values, dtype=np.int64)
+    starts[1:] = np.nonzero(is_last)[0][:-1] + 1
+    pos_in_value = np.arange(raw.size, dtype=np.int64) - starts[value_idx]
+    out = np.zeros(n_values, dtype=np.uint64)
+    payload = (raw & 0x7F).astype(np.uint64) << (pos_in_value * 7).astype(np.uint64)
+    np.add.at(out, value_idx, payload)
+    return out, counts
+
+
+def decode_postings_column(id_col, tf_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode whole columns of encoded posting lists in one vectorized pass.
+
+    -> (flat doc_ids int64, flat tfs int32, per-row lengths int64).  The
+    per-row delta-gap cumsum is recovered from the global cumsum by
+    subtracting each row's preceding prefix (rows start with an absolute id).
+    """
+    gaps, lens = varint_decode_column(id_col)
+    tfs, tf_lens = varint_decode_column(tf_col)
+    if not np.array_equal(lens, tf_lens):
+        raise ValueError("doc_id / tf stream length mismatch")
+    csum = np.cumsum(gaps.astype(np.int64))
+    row_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    prefix = np.where(row_starts > 0, csum[row_starts - 1], 0)
+    doc_ids = csum - np.repeat(prefix, lens)
+    return doc_ids, tfs.astype(np.int32), lens
+
+
 def decode_postings(id_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_postings` -> (doc_ids int64, tfs int32)."""
     gaps = varint_decode(id_bytes).astype(np.int64)

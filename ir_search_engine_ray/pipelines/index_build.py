@@ -2,54 +2,68 @@
 
 Rebuild of the reference's ``Indexer.buildIndex`` + ``Compression`` lifecycle
 (``index/Indexer.java:72-142``, SURVEY.md §3.2) as a staged Ray Data pipeline
-(SURVEY.md §3.4):
+(SURVEY.md §3.4), with MAP-SIDE PARTITIONING instead of a Ray all-to-all:
 
     read_parquet (pruned columns)
-      -> conversation_offsets (small groupby)      [stage convs]
-      -> AssignDocId + TokenizeWriteBlocks          [stage blocks: SPIMI blocks]
-      -> groupby(doc_id) doclen/max_tf              [stage doclen]
-      -> salted groupby(term, salt) merge+compress  [stage chunks]
-      -> groupby(term) df                           [stage df]
-      -> weight partials -> groupby(doc_id) norms   [stage norms]
-      -> normalized weights + block maxima -> doc-partitioned shards
-                                                    [stage shards]
+      -> conversation_offsets (small groupby)          [stage convs]
+      -> AssignDocId + TokenizeWriteBlocks: per-batch tokenize writes
+         SALT-PARTITIONED SPIMI runs + exact doclen partials
+                                                       [stage blocks]
+      -> one merge task per salt: concat runs, sort(term, doc_id),
+         delta-gap varint compress                     [stage chunks]
+      -> groupby(term) df over chunk rows (vocab-sized) [stage df]
+      -> one finalize task per salt: local doc stats + norms,
+         normalized weights, block maxima -> shard + norms files
+                                                       [stage shards]
+
+Why this beats a ``groupby('term')`` exchange at 10^12 turns: the salt
+(``doc_id // range_size``) is chosen at tokenize time, so the "shuffle" is
+file placement — each reduce partition reads only its own runs, every merge
+task is bounded by ``range_size`` documents regardless of term skew (a Zipf
+head term becomes one bounded chunk per salt, never one giant group), and the
+doc side-stats (doc_len / max_tf / L2 norms) are EXACT LOCAL computations
+inside the salt because a salt range owns all postings of its documents — no
+``groupby(doc_id)`` shuffle, no broadcast doc-side tables.  The only global
+exchanges left are vocabulary-sized: the per-conversation offset table and
+the df table.
 
 Every stage directory is checkpointed with a fingerprinted ``_SUCCESS``
 marker (state/manifest.py); a restarted build skips completed stages, and
-within the blocks/shards stages each file is content-named and written
-atomically so partial stage re-runs skip completed partitions.  All
+within every stage each file is deterministically named and written
+atomically, so partial stage re-runs skip completed partitions.  All
 intermediates are partitioned Parquet, never one giant file.
 
 Output layout under ``out_dir``::
 
     convs.parquet      conv_id -> (base doc_id, n_turns)     [docmap seed]
-    blocks/            SPIMI block triples (term, doc_id, tf) + manifest
-    doclen/            doc_id, doc_len, max_tf
-    chunks/            merged compressed chunks
+    blocks/            salt-partitioned SPIMI runs (term, doc_id, tf)
+    doclen/            doc_id, doc_len, max_tf  (exact per-batch partials)
+    chunks/            chunk-s*.parquet merged compressed chunks, one per salt
     df/                term -> df
-    norms/             doc_id -> per-scheme L2 norms
-    shards/part-SSSSS.parquet   final index, one file per doc-range shard
+    norms/             norms-s*.parquet  doc_id -> per-scheme squared norms
+    shards/part-*.parquet   final index, one file per doc-range shard
     stats.json         N, avgdl, counts, config, lineage, stage metrics
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..config import IndexConfig
 from ..stages.docids import assign_doc_ids, conversation_offsets
-from ..stages.merge import df_table, merge_postings, range_size_for
-from ..stages.norms import doclen_table, finalize_chunks, norms_table
+from ..stages.merge import merge_salt_table, range_size_for
+from ..stages.norms import finalize_salt
 from ..stages.tokenize_stage import TokenizeWriteBlocks
 from ..state.manifest import (
     atomic_write_bytes,
@@ -104,32 +118,63 @@ class IndexMeta:
         return sorted((self.out_dir / "shards").glob("part-*.parquet"))
 
 
-def _dense_array(
-    table: pa.Table, key: str, val: str, n: int, dtype=np.float64
-) -> np.ndarray:
-    arr = np.zeros(n, dtype=dtype)
-    arr[table[key].to_numpy()] = table[val].to_numpy()
-    return arr
+def _merge_salt_task(chunks_dir: str):
+    """Per-salt reduce task: read this salt's runs, merge+compress, write."""
+
+    def run(item: dict) -> dict:
+        salt = int(item["salt"])
+        triples = pa.concat_tables([pq.read_table(f) for f in item["files"]])
+        chunk = merge_salt_table(triples, salt)
+        path = Path(chunks_dir) / f"chunk-s{salt:06d}.parquet"
+        written = atomic_write_bytes(path, lambda tmp: pq.write_table(chunk, tmp))
+        return {
+            "salt": salt,
+            "n_terms": chunk.num_rows,
+            "n_rows": triples.num_rows,
+            "skipped": not written,
+        }
+
+    return run
 
 
-def _write_shard_factory(shards_dir: str):
-    def write_shard(group: pa.Table) -> pa.Table:
-        sid = int(group["salt"][0].as_py())
-        path = Path(shards_dir) / f"part-{sid:05d}.parquet"
-        ordered = group.sort_by([("term", "ascending")])
-        written = atomic_write_bytes(path, lambda tmp: pq.write_table(ordered, tmp))
-        return pa.table(
-            {
-                "shard": pa.array([sid], type=pa.int32()),
-                "n_rows": pa.array([group.num_rows], type=pa.int64()),
-                "n_postings": pa.array(
-                    [int(pa.compute.sum(group["n"]).as_py() or 0)], type=pa.int64()
-                ),
-                "skipped": pa.array([not written], type=pa.bool_()),
-            }
+def _finalize_salt_task(
+    shards_dir: str, norms_dir: str, df_ref, N: int, avgdl: float
+):
+    """Per-salt finalize task: chunk file -> norms file + shard file."""
+
+    def run(item: dict) -> dict:
+        salt = int(item["salt"])
+        chunks = pq.read_table(item["file"])
+        df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        norms_tbl, shard = finalize_salt(chunks, df_map, N, avgdl)
+        atomic_write_bytes(
+            Path(norms_dir) / f"norms-s{salt:06d}.parquet",
+            lambda tmp: pq.write_table(norms_tbl, tmp),
         )
+        written = atomic_write_bytes(
+            Path(shards_dir) / f"part-{salt:05d}.parquet",
+            lambda tmp: pq.write_table(shard, tmp),
+        )
+        return {
+            "shard": salt,
+            "n_rows": shard.num_rows,
+            "n_postings": int(pa.compute.sum(shard["n"]).as_py() or 0),
+            "skipped": not written,
+        }
 
-    return write_shard
+    return run
+
+
+def _per_salt(items: list[dict], fn) -> list[dict]:
+    """Run one coarse task per salt partition through Ray Data (streaming,
+    retried, one task per item)."""
+    if not items:
+        return []
+    return (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map(fn)
+        .take_all()
+    )
 
 
 def build_index(
@@ -150,7 +195,11 @@ def build_index(
     out.mkdir(parents=True, exist_ok=True)
     paths = transcript_paths(transcripts)
     lineage = input_lineage(paths)
-    fp = config.fingerprint() + "-" + str(hash(json.dumps(lineage, sort_keys=True)))
+    fp = (
+        config.fingerprint()
+        + "-"
+        + hashlib.sha256(json.dumps(lineage, sort_keys=True).encode()).hexdigest()[:16]
+    )
     metrics: dict[str, Any] = {}
     t_start = time.perf_counter()
 
@@ -182,14 +231,17 @@ def build_index(
         mark_stage_complete(out / "stage_convs", fp, n_convs=len(offsets), N=N)
     convs = pq.read_table(convs_path)
     offsets = dict(zip(convs["conv_id"].to_pylist(), convs["base"].to_pylist()))
-    N = int(pa.compute.sum(convs["n_turns"]).as_py())
+    N = int(pa.compute.sum(convs["n_turns"]).as_py() or 0)
     metrics["n_convs"] = len(offsets)
     range_size = range_size_for(N, config.salt_buckets)
 
-    # ---- stage: blocks (tokenize -> SPIMI blocks with per-block lineage)
+    # ---- stage: blocks (tokenize -> salt-partitioned SPIMI runs + doclen)
     blocks_dir = out / "blocks"
-    if stage_complete(blocks_dir, fp) is None:
+    doclen_dir = out / "doclen"
+    marker = stage_complete(blocks_dir, fp)
+    if marker is None:
         begin_stage(blocks_dir, fp, keep_partials=True)
+        begin_stage(doclen_dir, fp, keep_partials=True)
         ds = read_transcripts(paths)
         offsets_ref = ray.put(offsets)
         manifest = (
@@ -201,7 +253,12 @@ def build_index(
             )
             .map_batches(
                 TokenizeWriteBlocks,
-                fn_constructor_args=(config.mode, str(blocks_dir)),
+                fn_constructor_args=(
+                    config.mode,
+                    str(blocks_dir),
+                    str(doclen_dir),
+                    range_size,
+                ),
                 batch_format="pyarrow",
                 concurrency=concurrency,
                 batch_size=config.tokenize_batch_size,
@@ -209,99 +266,93 @@ def build_index(
             .take_all()
         )
         # batch boundaries may shift between runs at different parallelism:
-        # drop any same-fingerprint leftover blocks this run did not produce,
+        # drop any same-fingerprint leftover files this run did not produce,
         # or downstream reads would double-count their postings
-        listed = {b["block"] for b in manifest}
-        for f in blocks_dir.glob("block-*.parquet"):
+        listed = {m["file"] for m in manifest}
+        for f in list(blocks_dir.glob("block-*.parquet")) + list(
+            doclen_dir.glob("doclen-*.parquet")
+        ):
             if f.name not in listed:
                 f.unlink()
-        atomic_write_json(blocks_dir / "manifest.json", {"blocks": manifest})
-        mark_stage_complete(
+        atomic_write_json(blocks_dir / "manifest.json", {"files": manifest})
+        dl_files = sorted(str(f) for f in doclen_dir.glob("doclen-*.parquet"))
+        total_doc_len = int(
+            ray.data.read_parquet(dl_files, columns=["doc_len"]).sum("doc_len")
+            or 0
+        ) if dl_files else 0
+        marker = mark_stage_complete(
             blocks_dir,
             fp,
-            n_blocks=len(manifest),
-            n_posting_rows=int(sum(b["n_rows"] for b in manifest)),
-            n_tokens=int(sum(max(0, b["n_tokens"]) for b in manifest)),
+            n_files=len(manifest),
+            n_posting_rows=int(
+                sum(m["n_rows"] for m in manifest if m["kind"] == "block")
+            ),
+            n_tokens=int(
+                sum(max(0, m["n_tokens"]) for m in manifest if m["kind"] == "doclen")
+            ),
+            total_doc_len=total_doc_len,
         )
-    block_files = sorted(str(f) for f in blocks_dir.glob("block-*.parquet"))
-
-    def triples_ds() -> ray.data.Dataset:
-        return ray.data.read_parquet(block_files)
-
-    # ---- stage: doclen (A2/A3)
-    doclen_dir = out / "doclen"
-    if stage_complete(doclen_dir, fp) is None:
-        begin_stage(doclen_dir, fp, keep_partials=False)
-        dl = doclen_table(triples_ds())
-        dl = dl.rename_columns({"sum(tf)": "doc_len", "max(tf)": "max_tf"})
-        dl.write_parquet(str(doclen_dir))
-        mark_stage_complete(doclen_dir, fp)
-    doclen_tbl = pq.read_table(doclen_dir, columns=["doc_id", "doc_len", "max_tf"])
-    total_doc_len = int(pa.compute.sum(doclen_tbl["doc_len"]).as_py() or 0)
+    total_doc_len = int(marker["total_doc_len"])
     avgdl = total_doc_len / N if N else 0.0
+    block_files = sorted(blocks_dir.glob("block-*.parquet"))
+    by_salt: dict[int, list[str]] = {}
+    for f in block_files:
+        by_salt.setdefault(int(f.name.split("-")[1][1:]), []).append(str(f))
 
-    # ---- stage: chunks (the salted A1 merge shuffle)
+    # ---- stage: chunks (per-salt merge reduce: the A1 "shuffle" is file
+    # placement — no Ray all-to-all)
     chunks_dir = out / "chunks"
     if stage_complete(chunks_dir, fp) is None:
-        begin_stage(chunks_dir, fp, keep_partials=False)
-        chunks = merge_postings(triples_ds(), N, config.salt_buckets)
-        chunks.write_parquet(str(chunks_dir))
-        mark_stage_complete(chunks_dir, fp)
+        begin_stage(chunks_dir, fp, keep_partials=True)
+        items = [
+            {"salt": s, "files": fl} for s, fl in sorted(by_salt.items())
+        ]
+        merge_manifest = _per_salt(items, _merge_salt_task(str(chunks_dir)))
+        mark_stage_complete(
+            chunks_dir,
+            fp,
+            chunks=sorted(
+                (
+                    {k: (v if isinstance(v, bool) else int(v)) for k, v in m.items()}
+                    for m in merge_manifest
+                ),
+                key=lambda m: m["salt"],
+            ),
+        )
+    chunk_files = sorted(chunks_dir.glob("chunk-s*.parquet"))
 
-    def chunks_ds() -> ray.data.Dataset:
-        return ray.data.read_parquet(str(chunks_dir))
-
-    # ---- stage: df (A4)
+    # ---- stage: df (A4 — vocabulary-sized groupby over chunk rows)
     df_dir = out / "df"
     if stage_complete(df_dir, fp) is None:
         begin_stage(df_dir, fp, keep_partials=False)
-        df = df_table(chunks_ds()).rename_columns({"sum(df_chunk)": "df"})
+        df = (
+            ray.data.read_parquet(
+                [str(f) for f in chunk_files], columns=["term", "df_chunk"]
+            )
+            .groupby("term")
+            .aggregate(Sum("df_chunk"))
+            .rename_columns({"sum(df_chunk)": "df"})
+        )
         df.write_parquet(str(df_dir))
         mark_stage_complete(df_dir, fp)
     df_tbl = pq.read_table(df_dir, columns=["term", "df"])
     n_terms = df_tbl.num_rows
     df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
 
-    # broadcast doc side-tables once (dense doc_ids -> flat arrays)
-    doclen_ref = ray.put(_dense_array(doclen_tbl, "doc_id", "doc_len", N))
-    maxtf_ref = ray.put(_dense_array(doclen_tbl, "doc_id", "max_tf", N))
-    df_ref = ray.put(df_map)
-
-    # ---- stage: norms (A7 — per-scheme L2 norms, computed once at build)
-    norms_dir = out / "norms"
-    if stage_complete(norms_dir, fp) is None:
-        begin_stage(norms_dir, fp, keep_partials=False)
-        norms = norms_table(chunks_ds(), doclen_ref, maxtf_ref, df_ref, N, avgdl)
-        norms = norms.rename_columns({"sum(nsq1)": "nsq1", "sum(nsq2)": "nsq2"})
-        norms.write_parquet(str(norms_dir))
-        mark_stage_complete(norms_dir, fp)
-    norms_tbl = pq.read_table(norms_dir)
-    norm1 = np.sqrt(_dense_array(norms_tbl, "doc_id", "nsq1", N))
-    norm2 = np.sqrt(_dense_array(norms_tbl, "doc_id", "nsq2", N))
-    norm1[norm1 == 0] = 1.0  # zero-term docs never score; avoid 0/0
-    norm2[norm2 == 0] = 1.0
-
-    # ---- stage: shards (normalized weights + block maxima, doc-partitioned)
+    # ---- stage: shards (per-salt finalize: local norms + normalized
+    # weights + block maxima; A7 done once at build, never per query)
     shards_dir = out / "shards"
+    norms_dir = out / "norms"
     if stage_complete(shards_dir, fp) is None:
         begin_stage(shards_dir, fp, keep_partials=True)
-        final = chunks_ds().map_batches(
-            finalize_chunks,
-            fn_kwargs={
-                "doclen_ref": doclen_ref,
-                "maxtf_ref": maxtf_ref,
-                "df_ref": df_ref,
-                "norm1_ref": ray.put(norm1),
-                "norm2_ref": ray.put(norm2),
-                "N": N,
-                "avgdl": avgdl,
-            },
-            batch_format="pyarrow",
-        )
-        shard_manifest = (
-            final.groupby("salt")
-            .map_groups(_write_shard_factory(str(shards_dir)), batch_format="pyarrow")
-            .take_all()
+        begin_stage(norms_dir, fp, keep_partials=True)
+        df_ref = ray.put(df_map)
+        items = [
+            {"salt": int(f.name[7:13]), "file": str(f)} for f in chunk_files
+        ]
+        shard_manifest = _per_salt(
+            items,
+            _finalize_salt_task(str(shards_dir), str(norms_dir), df_ref, N, avgdl),
         )
         mark_stage_complete(
             shards_dir,

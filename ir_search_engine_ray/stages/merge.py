@@ -1,38 +1,41 @@
-"""Posting-list merge: the one real shuffle, with explicit skew handling.
+"""Posting-list merge per salt partition, with explicit skew handling.
 
 Reference semantics: group the (term, doc, tf) stream by term; postings sorted
 by doc_id; df = number of postings (``index/SPIMI.java:89-117``, A1/A4 in
-SURVEY.md).  The reference does this in one in-heap SortedMap; here it is a
-salted ``groupby`` over the SPIMI-block triples.
+SURVEY.md).  The reference does this in one in-heap SortedMap; here the merge
+is a per-partition reduce over map-side-partitioned SPIMI runs.
 
 Skew / salting: Zipf head terms (the reference corpus already has df=730/1398
 for "flow", ``stats.md:37``; at 10^12 turns a head posting list is multi-TB)
-would make single-term groups unboundedly large.  The group key is therefore
-``(term, salt)`` with ``salt = doc_id // range_size`` — contiguous doc-id
-range buckets, applied to EVERY term:
+would make single-term groups unboundedly large.  The partition key is
+therefore ``salt = doc_id // range_size`` — contiguous doc-id range buckets,
+applied to EVERY term:
 
-- every merge group is bounded by ``range_size`` docs, no matter how skewed
-  the term distribution (a head term becomes S bounded chunks; a tail term
-  with df < S occupies only the buckets it appears in, so total chunk rows
-  never exceed total postings);
+- every merge partition is bounded by ``range_size`` docs no matter how
+  skewed the term distribution (a head term becomes S bounded chunks; a tail
+  term occupies only the buckets it appears in, so total chunk rows never
+  exceed total postings) — at 10^12 turns ``salt_buckets`` scales with N so
+  ``range_size`` stays constant;
 - a term's full posting list is the concatenation of its chunks in salt
   order — already doc_id-sorted, no re-sort, and no task ever materializes a
   head term's full list (SURVEY.md §4 "Skew");
 - salt ranges double as DOC-PARTITIONED query shards: an actor holding all
   chunks of one salt range can score its documents against every query term
   locally, so per-actor top-k heaps merge into a correct global top-k
-  (term-partitioned serving could not bound a doc's score locally).
+  (term-partitioned serving could not bound a doc's score locally);
+- because the tokenize stage already wrote its runs partitioned by salt
+  (stages/tokenize_stage.py), "shuffling" here is just grouping files by the
+  salt in their name — one task per salt reads only its own runs; there is
+  no Ray all-to-all and no per-(term,salt) Python group callback.
 
 Each merged chunk is immediately delta-gap + varint compressed (F3), so the
-shuffle output and the shards hold compressed bytes, not int64 lists.
+merge output and the shards hold compressed bytes, not int64 lists.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray.data
-from ray.data.aggregate import Sum
 
 from ..functions.codec import encode_postings
 
@@ -51,49 +54,38 @@ def range_size_for(n_docs: int, salt_buckets: int) -> int:
     return max(1, -(-n_docs // max(1, salt_buckets)))
 
 
-def add_salt(batch: pa.Table, *, range_size: int) -> pa.Table:
-    """Adds the chunking key: the doc-id range bucket."""
-    salt = (batch["doc_id"].to_numpy() // max(1, range_size)).astype(np.int32)
-    return batch.append_column("salt", pa.array(salt, type=pa.int32()))
+def merge_salt_table(triples: pa.Table, salt: int) -> pa.Table:
+    """All SPIMI-run triples of ONE salt partition -> compressed chunk rows.
 
-
-def merge_chunk_group(group: pa.Table) -> pa.Table:
-    """One (term, salt) group -> one compressed posting-list chunk row.
-
-    Doc sets of SPIMI blocks are disjoint (a doc is one row of one batch), so
-    within a group every doc_id is unique; sortedness is imposed here rather
-    than assumed from arrival order (SURVEY.md §2.9 invariant).
+    Vectorized: one Arrow sort by (term, doc_id), numpy run-boundary
+    detection, then one encode per distinct term (numpy slices, no per-row
+    work).  Doc sets of SPIMI runs are disjoint (a doc is one row of one
+    batch), so within a partition every (term, doc_id) is unique —
+    ``encode_postings`` raises on violations (SURVEY.md §2.9 invariant).
     """
-    doc_ids = group["doc_id"].to_numpy()
-    tfs = group["tf"].to_numpy()
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = tfs[order]
-    id_bytes, tf_bytes = encode_postings(doc_ids, tfs)  # raises on duplicates
+    if triples.num_rows == 0:
+        return CHUNK_SCHEMA.empty_table()
+    tbl = triples.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    terms = np.asarray(tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
+    doc_ids = tbl["doc_id"].to_numpy()
+    tfs = tbl["tf"].to_numpy()
+    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(terms)]))
+    id_bytes: list[bytes] = []
+    tf_bytes: list[bytes] = []
+    for s, e in zip(starts, ends):
+        ib, tb = encode_postings(doc_ids[s:e], tfs[s:e])
+        id_bytes.append(ib)
+        tf_bytes.append(tb)
     return pa.table(
         {
-            "term": [group["term"][0].as_py()],
-            "salt": pa.array([group["salt"][0].as_py()], type=pa.int32()),
-            "df_chunk": pa.array([len(doc_ids)], type=pa.int64()),
-            "id_bytes": pa.array([id_bytes], type=pa.binary()),
-            "tf_bytes": pa.array([tf_bytes], type=pa.binary()),
+            "term": pa.array(terms[starts], type=pa.string()),
+            "salt": pa.array(
+                np.full(starts.size, salt, dtype=np.int32), type=pa.int32()
+            ),
+            "df_chunk": pa.array(ends - starts, type=pa.int64()),
+            "id_bytes": pa.array(id_bytes, type=pa.binary()),
+            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
         }
     )
-
-
-def merge_postings(
-    triples_ds: ray.data.Dataset, n_docs: int, salt_buckets: int
-) -> ray.data.Dataset:
-    """triples -> chunked, compressed posting lists (the A1 shuffle)."""
-    range_size = range_size_for(n_docs, salt_buckets)
-    salted = triples_ds.map_batches(
-        add_salt, fn_kwargs={"range_size": range_size}, batch_format="pyarrow"
-    )
-    return salted.groupby(["term", "salt"]).map_groups(
-        merge_chunk_group, batch_format="pyarrow"
-    )
-
-
-def df_table(chunks_ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Full per-term df = sum of chunk dfs (A4)."""
-    return chunks_ds.groupby("term").aggregate(Sum("df_chunk"))

@@ -5,20 +5,26 @@ The analogue of the reference's invert loop (``index/Indexer.java:90-117`` +
 task tokenizes a batch of turns and emits the *complete* per-(term, doc) term
 frequencies for those turns — a "SPIMI block".  Because one document is one
 row, a batch always holds whole documents, so the per-(term, doc) counts are
-exact with no cross-batch combining; the global ``groupby('term')`` merge
-(stages/merge.py) only ever concatenates disjoint doc sets.
+exact with no cross-batch combining.
+
+Map-side partitioning (the scale-critical design): the tokenizer knows each
+doc's salt (``doc_id // range_size`` — contiguous doc-id range buckets, see
+stages/merge.py) and writes its triples PARTITIONED BY SALT —
+``block-s{salt}-... .parquet`` — exactly like a MapReduce map task writing
+per-reducer runs.  The downstream merge then just groups files by salt: the
+"shuffle" is file placement, not a Ray all-to-all, and each reduce partition
+is independently resumable.  Per-batch doc lengths (``doc_len = sum tf``,
+``max_tf``) are exact locally (whole docs per batch) and are written to the
+doclen directory in the same pass — no ``groupby(doc_id)`` shuffle ever runs.
 
 Two operating modes:
 
 - ``TokenizeCount`` returns the triples as the batch output (streaming, no
   disk) — used for ad-hoc queries and tests;
-- ``TokenizeWriteBlocks`` additionally checkpoints each block to
-  ``blocks/block-*.parquet`` with an atomic rename and returns a one-row
-  lineage manifest (doc range, row/token/term counts, content hash).  A
-  restarted build re-runs the map cheaply but skips tokenization+write for
-  blocks whose file already exists — the per-partition resume required by the
-  north rule.  Block names are content-derived (doc-id range + count + CRC),
-  so retries and reruns are idempotent.
+- ``TokenizeWriteBlocks`` checkpoints per-salt block files + the doclen
+  partial with atomic renames and returns per-file lineage manifest rows.
+  File names are content-derived (doc-id range + count + CRC), so retries
+  and re-runs are idempotent: existing files are skipped, not rewritten.
 
 The tokenizer instance (with its memo cache) lives in ``__init__`` — once per
 actor process, not per batch (reference's stem memo cache,
@@ -39,6 +45,19 @@ from ..textproc import TokenPipeline
 
 TRIPLES_SCHEMA = pa.schema(
     [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int32())]
+)
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("file", pa.string()),
+        ("kind", pa.string()),  # "block" | "doclen"
+        ("salt", pa.int32()),  # -1 for doclen
+        ("doc_lo", pa.int64()),
+        ("doc_hi", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("skipped", pa.bool_()),
+    ]
 )
 
 
@@ -73,45 +92,111 @@ class TokenizeCount:
         )
         return table, n_tokens
 
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         table, _ = self._triples(batch)
         return table
 
 
 class TokenizeWriteBlocks(TokenizeCount):
-    """Tokenize and checkpoint each batch as an on-disk SPIMI block."""
+    """Tokenize and checkpoint each batch as salt-partitioned SPIMI runs
+    plus a doclen partial."""
 
-    def __init__(self, mode: str, blocks_dir: str) -> None:
+    def __init__(
+        self, mode: str, blocks_dir: str, doclen_dir: str, range_size: int
+    ) -> None:
         super().__init__(mode)
         self.blocks_dir = Path(blocks_dir)
+        self.doclen_dir = Path(doclen_dir)
+        self.range_size = max(1, range_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
         lo, hi, n = int(doc_ids.min()), int(doc_ids.max()), len(doc_ids)
         crc = zlib.crc32(np.ascontiguousarray(doc_ids).tobytes())
-        name = f"block-{lo:012d}-{hi:012d}-{n}-{crc:08x}.parquet"
-        path = self.blocks_dir / name
-        if path.exists():
-            meta = pq.read_metadata(path)
-            return _manifest_row(name, lo, hi, n, meta.num_rows, -1, skipped=True)
+        stem = f"{lo:012d}-{hi:012d}-{n}-{crc:08x}"
+        rows: list[dict] = []
+
+        # resume fast-path: the doclen partial is written LAST, so its
+        # existence implies every per-salt block file of this batch exists
+        if (self.doclen_dir / f"doclen-{stem}.parquet").exists():
+            for f in sorted(self.blocks_dir.glob(f"block-s*-{stem}.parquet")):
+                rows.append(
+                    {
+                        "file": f.name,
+                        "kind": "block",
+                        "salt": int(f.name.split("-")[1][1:]),
+                        "doc_lo": lo,
+                        "doc_hi": hi,
+                        "n_rows": pq.read_metadata(f).num_rows,
+                        "n_tokens": -1,
+                        "skipped": True,
+                    }
+                )
+            rows.append(
+                {
+                    "file": f"doclen-{stem}.parquet",
+                    "kind": "doclen",
+                    "salt": -1,
+                    "doc_lo": lo,
+                    "doc_hi": hi,
+                    "n_rows": n,
+                    "n_tokens": -1,
+                    "skipped": True,
+                }
+            )
+            return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
+
         triples, n_tokens = self._triples(batch)
-        written = atomic_write_bytes(path, lambda tmp: pq.write_table(triples, tmp))
-        return _manifest_row(
-            name, lo, hi, n, triples.num_rows, n_tokens, skipped=not written
+        t_ids = triples["doc_id"].to_numpy()
+        salts = (t_ids // self.range_size).astype(np.int32)
+        for salt in np.unique(salts):
+            part = triples.filter(pa.array(salts == salt))
+            name = f"block-s{int(salt):06d}-{stem}.parquet"
+            written = atomic_write_bytes(
+                self.blocks_dir / name, lambda tmp: pq.write_table(part, tmp)
+            )
+            rows.append(
+                {
+                    "file": name,
+                    "kind": "block",
+                    "salt": int(salt),
+                    "doc_lo": lo,
+                    "doc_hi": hi,
+                    "n_rows": part.num_rows,
+                    "n_tokens": int(part["tf"].to_numpy().sum()),
+                    "skipped": not written,
+                }
+            )
+
+        # exact per-doc lengths: every doc's postings are fully in `triples`
+        uniq, inv = np.unique(t_ids, return_inverse=True)
+        dl = np.zeros(uniq.size, dtype=np.int64)
+        mx = np.zeros(uniq.size, dtype=np.int64)
+        t_tfs = triples["tf"].to_numpy()
+        np.add.at(dl, inv, t_tfs)
+        np.maximum.at(mx, inv, t_tfs)
+        dl_tbl = pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "doc_len": pa.array(dl, type=pa.int64()),
+                "max_tf": pa.array(mx, type=pa.int64()),
+            }
         )
-
-
-def _manifest_row(
-    name: str, lo: int, hi: int, n_docs: int, n_rows: int, n_tokens: int, skipped: bool
-) -> pa.Table:
-    return pa.table(
-        {
-            "block": [name],
-            "doc_lo": pa.array([lo], type=pa.int64()),
-            "doc_hi": pa.array([hi], type=pa.int64()),
-            "n_docs": pa.array([n_docs], type=pa.int64()),
-            "n_rows": pa.array([n_rows], type=pa.int64()),
-            "n_tokens": pa.array([n_tokens], type=pa.int64()),
-            "skipped": pa.array([skipped], type=pa.bool_()),
-        }
-    )
+        dl_name = f"doclen-{stem}.parquet"
+        written = atomic_write_bytes(
+            self.doclen_dir / dl_name, lambda tmp: pq.write_table(dl_tbl, tmp)
+        )
+        rows.append(
+            {
+                "file": dl_name,
+                "kind": "doclen",
+                "salt": -1,
+                "doc_lo": lo,
+                "doc_hi": hi,
+                "n_rows": dl_tbl.num_rows,
+                "n_tokens": n_tokens,
+                "skipped": not written,
+            }
+        )
+        return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
