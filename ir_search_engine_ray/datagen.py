@@ -192,28 +192,39 @@ def n_turns_for_sf(sf_dir: str) -> int:
     return max(200, int(2_000_000 * float(sf_name(sf_dir)[2:])))
 
 
+ROWS_PER_FILE = 8192
+_MARKER = "_SUCCESS_v2"  # bump when the fixture layout changes
+
+
 def fixture_dir(sf_dir: str, n_turns: int | None = None) -> Path:
     """Return (and lazily, atomically create) the fixture dir for a scale.
 
-    Layout: ``<root>/<sfname>/transcripts.parquet`` + ``queries.parquet``.
+    Layout: ``<root>/<sfname>/transcripts/part-*.parquet`` + ``queries.parquet``.
+    The transcripts table is written as MANY files (like any real corpus at
+    scale) — a single giant file caps ``read_parquet`` at one read task,
+    which serializes the whole ingest.
     """
     name = sf_name(sf_dir)
     out = FIXTURE_ROOT / name
-    if (out / "_SUCCESS").exists():
+    if (out / _MARKER).exists():
         return out
     n = n_turns if n_turns is not None else n_turns_for_sf(sf_dir)
     tmp = FIXTURE_ROOT / f".tmp-{name}-{os.getpid()}"
     if tmp.exists():
         shutil.rmtree(tmp)
-    tmp.mkdir(parents=True)
-    # row_group_size small enough that Ray gets read parallelism at every scale
-    pq.write_table(
-        generate_transcripts(n), tmp / "transcripts.parquet", row_group_size=8192
-    )
+    (tmp / "transcripts").mkdir(parents=True)
+    tbl = generate_transcripts(n)
+    for i in range(0, tbl.num_rows, ROWS_PER_FILE):
+        pq.write_table(
+            tbl.slice(i, ROWS_PER_FILE),
+            tmp / "transcripts" / f"part-{i // ROWS_PER_FILE:05d}.parquet",
+        )
     pq.write_table(generate_queries(), tmp / "queries.parquet")
-    (tmp / "_SUCCESS").touch()
-    if out.exists():  # another process won the race
+    (tmp / _MARKER).touch()
+    if (out / _MARKER).exists():  # another process won the race
         shutil.rmtree(tmp)
     else:
+        if out.exists():  # stale pre-v2 layout
+            shutil.rmtree(out)
         os.rename(tmp, out)
     return out

@@ -50,7 +50,7 @@ INDEX_CACHE = Path("/tmp/graft_idx")
 
 
 def _transcripts_path(sf_dir: str) -> str:
-    return str(fixture_dir(sf_dir) / "transcripts.parquet")
+    return str(fixture_dir(sf_dir) / "transcripts")
 
 
 def _queries_path(sf_dir: str) -> str:
@@ -293,7 +293,7 @@ def _sql_tokens_cte(fx: str) -> str:
     return f"""
 docs AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text
-  FROM read_parquet('{fx}/transcripts.parquet')
+  FROM read_parquet('{fx}/transcripts/*.parquet')
 ),
 rawtok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
@@ -384,7 +384,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "docmap": f"""
 SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
        conv_id, turn_idx
-FROM read_parquet('{fx}/transcripts.parquet')
+FROM read_parquet('{fx}/transcripts/*.parquet')
 """,
         "postings_simple": f"WITH {_sql_tokens_cte(fx)} SELECT term, doc_id, tf FROM tf",
         "doclen_simple": f"WITH {_sql_tokens_cte(fx)} SELECT doc_id, doc_len, max_tf FROM dl",

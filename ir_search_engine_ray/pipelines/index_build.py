@@ -11,10 +11,11 @@ Rebuild of the reference's ``Indexer.buildIndex`` + ``Compression`` lifecycle
                                                        [stage blocks]
       -> one merge task per salt: concat runs, sort(term, doc_id),
          delta-gap varint compress                     [stage chunks]
-      -> groupby(term) df over chunk rows (vocab-sized) [stage df]
-      -> one finalize task per salt: local doc stats + norms,
-         normalized weights, block maxima -> shard + norms files
-                                                       [stage shards]
+      -> driver-side vocabulary combine of per-salt dfs  [stage df]
+
+The chunks are the serving shards: query actors load chunks + df and derive
+doc stats, cosine norms and normalized weights at load time (stages/norms.py
+rationale — materializing them would double index size and build I/O).
 
 Why this beats a ``groupby('term')`` exchange at 10^12 turns: the salt
 (``doc_id // range_size``) is chosen at tokenize time, so the "shuffle" is
@@ -38,10 +39,8 @@ Output layout under ``out_dir``::
     convs.parquet      conv_id -> (base doc_id, n_turns)     [docmap seed]
     blocks/            salt-partitioned SPIMI runs (term, doc_id, tf)
     doclen/            doc_id, doc_len, max_tf  (exact per-batch partials)
-    chunks/            chunk-s*.parquet merged compressed chunks, one per salt
+    chunks/            chunk-s*.parquet compressed postings = serving shards
     df/                term -> df
-    norms/             norms-s*.parquet  doc_id -> per-scheme squared norms
-    shards/part-*.parquet   final index, one file per doc-range shard
     stats.json         N, avgdl, counts, config, lineage, stage metrics
 """
 
@@ -58,13 +57,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import IndexConfig
 from ..stages.docids import assign_doc_ids, conversation_offsets
 from ..stages.merge import merge_salt_table, range_size_for
-from ..stages.norms import finalize_salt
-from ..stages.tokenize_stage import TokenizeWriteBlocks
+from ..stages.tokenize_stage import (
+    TRIPLES_SCHEMA,
+    read_block_batches,
+    tokenize_write_blocks,
+)
 from ..state.manifest import (
     atomic_write_bytes,
     atomic_write_json,
@@ -115,15 +116,25 @@ class IndexMeta:
         return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
     def shard_files(self) -> list[Path]:
-        return sorted((self.out_dir / "shards").glob("part-*.parquet"))
+        """The serving shards are the per-salt chunk files themselves."""
+        return sorted((self.out_dir / "chunks").glob("chunk-s*.parquet"))
 
 
 def _merge_salt_task(chunks_dir: str):
-    """Per-salt reduce task: read this salt's runs, merge+compress, write."""
+    """Per-salt reduce task: extract this salt's record batches from each
+    run file (footer random access — only this salt's bytes are read),
+    merge+compress, write one chunk file."""
 
     def run(item: dict) -> dict:
         salt = int(item["salt"])
-        triples = pa.concat_tables([pq.read_table(f) for f in item["files"]])
+        batches: list[pa.RecordBatch] = []
+        for f, idx in zip(item["files"], item["indices"]):
+            batches.extend(read_block_batches(str(f), [int(idx)]))
+        triples = (
+            pa.Table.from_batches(batches)
+            if batches
+            else TRIPLES_SCHEMA.empty_table()
+        )
         chunk = merge_salt_table(triples, salt)
         path = Path(chunks_dir) / f"chunk-s{salt:06d}.parquet"
         written = atomic_write_bytes(path, lambda tmp: pq.write_table(chunk, tmp))
@@ -131,34 +142,6 @@ def _merge_salt_task(chunks_dir: str):
             "salt": salt,
             "n_terms": chunk.num_rows,
             "n_rows": triples.num_rows,
-            "skipped": not written,
-        }
-
-    return run
-
-
-def _finalize_salt_task(
-    shards_dir: str, norms_dir: str, df_ref, N: int, avgdl: float
-):
-    """Per-salt finalize task: chunk file -> norms file + shard file."""
-
-    def run(item: dict) -> dict:
-        salt = int(item["salt"])
-        chunks = pq.read_table(item["file"])
-        df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
-        norms_tbl, shard = finalize_salt(chunks, df_map, N, avgdl)
-        atomic_write_bytes(
-            Path(norms_dir) / f"norms-s{salt:06d}.parquet",
-            lambda tmp: pq.write_table(norms_tbl, tmp),
-        )
-        written = atomic_write_bytes(
-            Path(shards_dir) / f"part-{salt:05d}.parquet",
-            lambda tmp: pq.write_table(shard, tmp),
-        )
-        return {
-            "shard": salt,
-            "n_rows": shard.num_rows,
-            "n_postings": int(pa.compute.sum(shard["n"]).as_py() or 0),
             "skipped": not written,
         }
 
@@ -186,11 +169,6 @@ def build_index(
 ) -> IndexMeta:
     """Build (or resume building) the index. Idempotent; returns metadata."""
     config = config or IndexConfig()
-    if concurrency is None:
-        # actor-pool width for the stateful tokenize stage: leave headroom for
-        # the upstream read tasks — a fixed pool equal to all CPUs starves the
-        # reader and deadlocks the streaming executor
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = transcript_paths(transcripts)
@@ -202,11 +180,24 @@ def build_index(
     )
     metrics: dict[str, Any] = {}
     t_start = time.perf_counter()
+    _t_prev = t_start
+
+    def _lap(stage: str) -> None:
+        nonlocal _t_prev
+        now = time.perf_counter()
+        metrics[f"t_{stage}"] = round(now - _t_prev, 3)
+        _t_prev = now
 
     # ---- stage: convs (doc_id base offsets; the stable-turn-ordering seed)
     convs_path = out / "convs.parquet"
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if stage_complete(out / "stage_convs", fp) is None:
-        ds = read_transcripts(paths, columns=["conv_id", "turn_idx"])
+        # a single input file is split into row-group ranges: without the
+        # override Ray sizes read tasks by bytes and a small file count caps
+        # parallelism far below the CPU count
+        ds = read_transcripts(
+            paths, columns=["conv_id", "turn_idx"], override_num_blocks=2 * cpus
+        )
         offsets, N = conversation_offsets(ds)
         convs_sorted = sorted(offsets)
         bases = [offsets[c] for c in convs_sorted]
@@ -233,6 +224,7 @@ def build_index(
     offsets = dict(zip(convs["conv_id"].to_pylist(), convs["base"].to_pylist()))
     N = int(pa.compute.sum(convs["n_turns"]).as_py() or 0)
     metrics["n_convs"] = len(offsets)
+    _lap("convs")
     range_size = range_size_for(N, config.salt_buckets)
 
     # ---- stage: blocks (tokenize -> salt-partitioned SPIMI runs + doclen)
@@ -242,26 +234,32 @@ def build_index(
     if marker is None:
         begin_stage(blocks_dir, fp, keep_partials=True)
         begin_stage(doclen_dir, fp, keep_partials=True)
-        ds = read_transcripts(paths)
+        # one read block per tokenize batch, sized from N alone so batch
+        # boundaries (and the content-derived block file names) do not
+        # depend on the parallelism level; batch_size=None keeps
+        # batch == block, avoiding a re-bundling barrier between the read
+        # and the fused tokenize
+        n_batches = max(1, -(-N // config.tokenize_batch_size))
+        ds = read_transcripts(paths, override_num_blocks=n_batches)
         offsets_ref = ray.put(offsets)
         manifest = (
             ds.map_batches(
                 assign_doc_ids,
                 fn_kwargs={"offsets_ref": offsets_ref},
                 batch_format="pyarrow",
-                batch_size=config.tokenize_batch_size,
+                batch_size=None,
             )
             .map_batches(
-                TokenizeWriteBlocks,
-                fn_constructor_args=(
-                    config.mode,
-                    str(blocks_dir),
-                    str(doclen_dir),
-                    range_size,
-                ),
+                tokenize_write_blocks,
+                fn_kwargs={
+                    "mode": config.mode,
+                    "blocks_dir": str(blocks_dir),
+                    "doclen_dir": str(doclen_dir),
+                    "range_size": range_size,
+                },
                 batch_format="pyarrow",
                 concurrency=concurrency,
-                batch_size=config.tokenize_batch_size,
+                batch_size=None,
             )
             .take_all()
         )
@@ -269,17 +267,17 @@ def build_index(
         # drop any same-fingerprint leftover files this run did not produce,
         # or downstream reads would double-count their postings
         listed = {m["file"] for m in manifest}
-        for f in list(blocks_dir.glob("block-*.parquet")) + list(
+        for f in list(blocks_dir.glob("block-*.arrow")) + list(
             doclen_dir.glob("doclen-*.parquet")
         ):
             if f.name not in listed:
                 f.unlink()
         atomic_write_json(blocks_dir / "manifest.json", {"files": manifest})
-        dl_files = sorted(str(f) for f in doclen_dir.glob("doclen-*.parquet"))
+        # doclen manifest rows carry exact per-batch token totals (also on
+        # the resume path), so total_doc_len needs no extra pass
         total_doc_len = int(
-            ray.data.read_parquet(dl_files, columns=["doc_len"]).sum("doc_len")
-            or 0
-        ) if dl_files else 0
+            sum(m["n_tokens"] for m in manifest if m["kind"] == "doclen")
+        )
         marker = mark_stage_complete(
             blocks_dir,
             fp,
@@ -287,17 +285,24 @@ def build_index(
             n_posting_rows=int(
                 sum(m["n_rows"] for m in manifest if m["kind"] == "block")
             ),
-            n_tokens=int(
-                sum(max(0, m["n_tokens"]) for m in manifest if m["kind"] == "doclen")
-            ),
+            n_tokens=total_doc_len,
             total_doc_len=total_doc_len,
         )
+    _lap("blocks")
     total_doc_len = int(marker["total_doc_len"])
     avgdl = total_doc_len / N if N else 0.0
-    block_files = sorted(blocks_dir.glob("block-*.parquet"))
-    by_salt: dict[int, list[str]] = {}
-    for f in block_files:
-        by_salt.setdefault(int(f.name.split("-")[1][1:]), []).append(str(f))
+    # per-salt run locations from the persisted manifest (file + record-batch
+    # index inside it), ordered by doc range so concatenated runs arrive
+    # doc_id-sorted (the merge's monotone-docId precondition)
+    man_rows = json.loads((blocks_dir / "manifest.json").read_text())["files"]
+    by_salt: dict[int, list[tuple[str, int]]] = {}
+    for m in sorted(
+        (m for m in man_rows if m["kind"] == "block"),
+        key=lambda m: int(m["doc_lo"]),
+    ):
+        by_salt.setdefault(int(m["salt"]), []).append(
+            (str(blocks_dir / m["file"]), int(m["batch_index"]))
+        )
 
     # ---- stage: chunks (per-salt merge reduce: the A1 "shuffle" is file
     # placement — no Ray all-to-all)
@@ -305,7 +310,12 @@ def build_index(
     if stage_complete(chunks_dir, fp) is None:
         begin_stage(chunks_dir, fp, keep_partials=True)
         items = [
-            {"salt": s, "files": fl} for s, fl in sorted(by_salt.items())
+            {
+                "salt": s,
+                "files": [f for f, _ in fl],
+                "indices": [i for _, i in fl],
+            }
+            for s, fl in sorted(by_salt.items())
         ]
         merge_manifest = _per_salt(items, _merge_salt_task(str(chunks_dir)))
         mark_stage_complete(
@@ -320,51 +330,51 @@ def build_index(
             ),
         )
     chunk_files = sorted(chunks_dir.glob("chunk-s*.parquet"))
+    _lap("chunks")
 
-    # ---- stage: df (A4 — vocabulary-sized groupby over chunk rows)
+    # ---- stage: df (A4 — vocabulary-sized combine over chunk rows; the
+    # chunk files already hold per-salt dfs, so this is a column-pruned read
+    # of (term, df_chunk) + one group_by.  Done on the driver at sandbox
+    # scale; at a vocabulary too large for one process this becomes a
+    # term-hash-partitioned ray.data groupby — the only all-to-all left,
+    # and it exchanges (term, int) rows, never postings.)
     df_dir = out / "df"
     if stage_complete(df_dir, fp) is None:
         begin_stage(df_dir, fp, keep_partials=False)
-        df = (
-            ray.data.read_parquet(
-                [str(f) for f in chunk_files], columns=["term", "df_chunk"]
+        parts = [
+            pq.read_table(f, columns=["term", "df_chunk"]) for f in chunk_files
+        ]
+        if parts:
+            df_agg = (
+                pa.concat_tables(parts)
+                .group_by("term")
+                .aggregate([("df_chunk", "sum")])
+                .sort_by("term")
             )
-            .groupby("term")
-            .aggregate(Sum("df_chunk"))
-            .rename_columns({"sum(df_chunk)": "df"})
+            df_out = pa.table(
+                {
+                    "term": df_agg["term"],
+                    "df": df_agg["df_chunk_sum"].cast(pa.int64()),
+                }
+            )
+        else:
+            df_out = pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        atomic_write_bytes(
+            df_dir / "part-0.parquet", lambda tmp: pq.write_table(df_out, tmp)
         )
-        df.write_parquet(str(df_dir))
         mark_stage_complete(df_dir, fp)
     df_tbl = pq.read_table(df_dir, columns=["term", "df"])
     n_terms = df_tbl.num_rows
     df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+    _lap("df")
 
-    # ---- stage: shards (per-salt finalize: local norms + normalized
-    # weights + block maxima; A7 done once at build, never per query)
-    shards_dir = out / "shards"
-    norms_dir = out / "norms"
-    if stage_complete(shards_dir, fp) is None:
-        begin_stage(shards_dir, fp, keep_partials=True)
-        begin_stage(norms_dir, fp, keep_partials=True)
-        df_ref = ray.put(df_map)
-        items = [
-            {"salt": int(f.name[7:13]), "file": str(f)} for f in chunk_files
-        ]
-        shard_manifest = _per_salt(
-            items,
-            _finalize_salt_task(str(shards_dir), str(norms_dir), df_ref, N, avgdl),
-        )
-        mark_stage_complete(
-            shards_dir,
-            fp,
-            shards=sorted(
-                (
-                    {k: (v if isinstance(v, bool) else int(v)) for k, v in m.items()}
-                    for m in shard_manifest
-                ),
-                key=lambda m: m["shard"],
-            ),
-        )
+    # NOTE: no norms stage — the chunks ARE the serving shards.  Doc stats
+    # and cosine norms (A2/A3/A7) are exact local functions of a salt's
+    # postings (stages/norms.py) and are computed once per query-actor load,
+    # not per query and not as build I/O; the doc-length table the north
+    # rule names is the doclen/ partials written free during tokenize.
 
     n_postings = sum(df_map.values())
     stats = {

@@ -8,99 +8,142 @@ Rebuild of the reference's query path (``search/QueryParser.java:135-191``,
   computes w1-style query weights against the broadcast df map
   (``QueryParser.java:141-146``) and the query norm ||q||;
 - each ``IndexShardActor`` pins one or more doc-range shards (lexicon +
-  normalized postings decoded into numpy arrays at load time) and scores its
-  document range against every query term found in its local lexicon —
-  because shards partition by DOCUMENT, a doc's full score is computed by
-  exactly one actor, so per-actor bounded top-k heaps merge into a correct
-  global top-k on the driver;
+  normalized postings decoded into per-term numpy arrays at load time) and
+  scores its document range against every query term found in its local
+  lexicon — because shards partition by DOCUMENT, a doc's full score is
+  computed by exactly one actor, so per-actor bounded top-k heaps merge into
+  a correct global top-k on the driver;
 - scoring algorithms: ``exhaustive`` (vectorized term-at-a-time),
   ``maxscore`` (term-at-a-time with upper-bound pruning of low-impact terms)
-  and ``block_max_wand`` (doc-at-a-time with per-chunk block maxima and a
-  bounded min-heap).  All three return identical results (asserted in tests);
-  upper bounds are on the NORMALIZED weights stored in the shards, so cosine
+  and ``block_max_wand`` (block-max pruning with a bounded min-heap; see
+  below).  All three return identical results (asserted in tests); upper
+  bounds are on the NORMALIZED weights stored in the shards, so cosine
   normalization (``QueryParser.java:176-183``) cannot break bound safety
   (SURVEY.md §7 "WAND correctness under cosine normalization").
 
+Block-max WAND, adapted to doc-range shards: postings are doc_id-sorted, so
+"blocks" are fixed doc-id WINDOWS (``WINDOW`` docs).  At load time each term
+gets per-window maxima of its normalized weights; at query time the window
+upper bound is ``sum_t wq_t * window_max_t`` (exactly the classic block-max
+bound), windows are visited in DESCENDING bound order, and a bounded k-min-
+heap supplies the threshold theta: the first window whose bound falls below
+theta proves no remaining document can enter the heap, so everything after
+it is skipped without being scored.  Scoring inside a surviving window is
+vectorized (searchsorted slice + scatter-add) — no per-document Python loop,
+unlike a classic cursor implementation.
+
 Actors are plain ``@ray.remote`` classes rather than a Dataset stage because
 query serving is request/response over pinned mutable-free state — the one
-place SURVEY.md §1.3/T4 sanctions dropping below the Dataset API.  Batch
-(dataset-of-queries) scoring is provided separately for throughput runs.
+place SURVEY.md §1.3/T4 sanctions dropping below the Dataset API.
 """
 
 from __future__ import annotations
 
 import heapq
 from collections import Counter
-from pathlib import Path
+from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
 from ..config import QueryConfig
-from ..functions.codec import decode_postings
+from ..functions.codec import decode_postings_column
 from ..functions.scoring import query_weights, topk_from_scores
 from ..stages.docids import doc_ids_to_keys
 from ..textproc import TokenPipeline
 from .index_build import IndexMeta
 
+WINDOW = 4096  # docs per block-max window
+
+
+@dataclass
+class _TermData:
+    ids: np.ndarray        # doc_ids, sorted ascending
+    wn: dict[str, np.ndarray]      # scheme -> normalized weights, same order
+    win_ids: np.ndarray    # windows this term touches (ascending)
+    seg_starts: np.ndarray  # start offset of each window segment in ids
+    wmax: dict[str, np.ndarray]    # scheme -> per-window max of wn
+    ub: dict[str, float]   # scheme -> overall max of wn
+
 
 class ShardState:
     """Decoded in-memory form of one or more doc-range shards (plain class,
-    reused by the Ray actor and by local/batch scoring)."""
+    reused by the Ray actor and by local/batch scoring).
 
-    def __init__(self, files: list[str]) -> None:
-        self.terms: dict[str, list[int]] = {}
-        self.doc_ids: list[np.ndarray] = []
-        self.wn: dict[str, list[np.ndarray]] = {"w1": [], "w2": []}
-        self.block_max: dict[str, np.ndarray] = {}
-        self.doc_lo = np.iinfo(np.int64).max
-        self.doc_hi = -1
-        max1: list[float] = []
-        max2: list[float] = []
-        for f in files:
-            t = pq.read_table(f)
-            for i in range(t.num_rows):
-                ids, _tfs = decode_postings(
-                    t["id_bytes"][i].as_py(), t["tf_bytes"][i].as_py()
-                )
-                row = len(self.doc_ids)
-                self.doc_ids.append(ids)
-                self.wn["w1"].append(np.asarray(t["wn1"][i].as_py(), dtype=np.float64))
-                self.wn["w2"].append(np.asarray(t["wn2"][i].as_py(), dtype=np.float64))
-                max1.append(t["max_wn1"][i].as_py())
-                max2.append(t["max_wn2"][i].as_py())
-                self.terms.setdefault(t["term"][i].as_py(), []).append(row)
-                if ids.size:
-                    self.doc_lo = min(self.doc_lo, int(ids[0]))
-                    self.doc_hi = max(self.doc_hi, int(ids[-1]))
-        self.block_max = {
-            "w1": np.array(max1, dtype=np.float64),
-            "w2": np.array(max2, dtype=np.float64),
-        }
+    A shard = the per-salt chunk files (compressed postings).  Doc stats,
+    cosine norms and normalized weights are derived here at LOAD time — one
+    vectorized pass per actor, never per query — from (tf, df, N, avgdl):
+    the shard's doc range holds all postings of its documents, so the stats
+    are exact local computations (stages/norms.py rationale).  Chunk files
+    are read in salt (= doc-range) order, so each term's concatenated
+    postings arrive already doc_id-sorted.
+    """
 
-    def _gather(self, terms: list[str], scheme: str):
-        """(chunk rows, per-term upper bound) for the query terms present."""
-        found = []
-        for qi, term in enumerate(terms):
-            rows = self.terms.get(term)
-            if rows:
-                found.append((qi, rows))
-        return found
+    def __init__(
+        self,
+        files: list[str],
+        df_map: dict[str, int],
+        N: int,
+        avgdl: float,
+    ) -> None:
+        from ..stages.norms import load_weights
+
+        tables = [pq.read_table(f) for f in sorted(files)]
+        t = pa.concat_tables(tables) if tables else None
+        self.terms: dict[str, _TermData] = {}
+        if t is None or t.num_rows == 0:
+            self.doc_lo, self.doc_hi = 0, -1
+            return
+        ids_flat, lens, wn_flat = load_weights(t, df_map, N, avgdl)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum(lens)
+        self.doc_lo = int(ids_flat.min())
+        self.doc_hi = int(ids_flat.max())
+        terms = t["term"].to_pylist()
+        rows_by_term: dict[str, list[int]] = {}
+        for row, term in enumerate(terms):
+            rows_by_term.setdefault(term, []).append(row)
+        for term, rows in rows_by_term.items():
+            parts = [slice(offsets[r], offsets[r + 1]) for r in rows]
+            ids = np.concatenate([ids_flat[p] for p in parts])
+            wn = {s: np.concatenate([wn_flat[s][p] for p in parts]) for s in wn_flat}
+            win = (ids - self.doc_lo) // WINDOW
+            seg_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(win)) + 1)
+            ).astype(np.int64)
+            wmax = {s: np.maximum.reduceat(wn[s], seg_starts) for s in wn}
+            self.terms[term] = _TermData(
+                ids=ids,
+                wn=wn,
+                win_ids=win[seg_starts],
+                seg_starts=seg_starts,
+                wmax=wmax,
+                ub={s: float(wmax[s].max()) for s in wmax},
+            )
+
+    def _gather(self, terms: list[str], weights: np.ndarray):
+        """(query weight, term data) for the query terms present locally."""
+        return [
+            (float(weights[qi]), self.terms[term])
+            for qi, term in enumerate(terms)
+            if term in self.terms and weights[qi] != 0.0
+        ]
+
+    @property
+    def _span(self) -> int:
+        return self.doc_hi - self.doc_lo + 1
 
     def score_exhaustive(
         self, terms: list[str], weights: np.ndarray, scheme: str, k: int
     ) -> list[tuple[int, float]]:
-        found = self._gather(terms, scheme)
+        found = self._gather(terms, weights)
         if not found:
             return []
-        span = self.doc_hi - self.doc_lo + 1
-        acc = np.zeros(span, dtype=np.float64)
-        for qi, rows in found:
-            wq = weights[qi]
-            for row in rows:
-                ids = self.doc_ids[row]
-                acc[ids - self.doc_lo] += self.wn[scheme][row] * wq
+        acc = np.zeros(self._span, dtype=np.float64)
+        for wq, d in found:
+            acc[d.ids - self.doc_lo] += d.wn[scheme] * wq
         nz = np.flatnonzero(acc)
         return topk_from_scores(nz + self.doc_lo, acc[nz], k)
 
@@ -108,94 +151,77 @@ class ShardState:
         self, terms: list[str], weights: np.ndarray, scheme: str, k: int
     ) -> list[tuple[int, float]]:
         """Term-at-a-time with upper-bound pruning: process terms in
-        descending (max contribution) order; once the accumulated candidate
-        set is final for the top-k threshold, skip terms whose bound cannot
-        lift a NEW doc into the heap (they still score existing candidates).
-        """
-        found = self._gather(terms, scheme)
+        descending (max contribution) order; once the top-k threshold
+        exceeds the sum of remaining bounds, a term can no longer lift a
+        NEW doc into the heap — it then only scores already-touched docs."""
+        found = self._gather(terms, weights)
         if not found:
             return []
-        bm = self.block_max[scheme]
-        # per query-term upper bound on contribution = wq * max chunk wn
-        ubs = []
-        for qi, rows in found:
-            ub = weights[qi] * max(bm[r] for r in rows)
-            ubs.append((ub, qi, rows))
-        ubs.sort(key=lambda x: -x[0])
-        span = self.doc_hi - self.doc_lo + 1
+        ubs = sorted(
+            ((wq * d.ub[scheme], wq, d) for wq, d in found), key=lambda x: -x[0]
+        )
+        span = self._span
         acc = np.zeros(span, dtype=np.float64)
         touched = np.zeros(span, dtype=bool)
-        remaining_ub = sum(u[0] for u in ubs)
+        remaining_ub = sum(u for u, _, _ in ubs)
         threshold = -np.inf
-        for ub, qi, rows in ubs:
-            if threshold > remaining_ub:  # no new doc can ever qualify
-                # restrict scoring to already-touched docs
-                for row in rows:
-                    ids = self.doc_ids[row] - self.doc_lo
-                    mask = touched[ids]
-                    acc[ids[mask]] += self.wn[scheme][row][mask] * weights[qi]
+        for ub, wq, d in ubs:
+            ids = d.ids - self.doc_lo
+            if threshold > remaining_ub:
+                mask = touched[ids]
+                acc[ids[mask]] += d.wn[scheme][mask] * wq
             else:
-                for row in rows:
-                    ids = self.doc_ids[row] - self.doc_lo
-                    acc[ids] += self.wn[scheme][row] * weights[qi]
-                    touched[ids] = True
+                acc[ids] += d.wn[scheme] * wq
+                touched[ids] = True
             remaining_ub -= ub
-            if np.count_nonzero(touched) >= k:
-                nzt = np.flatnonzero(touched)
-                if nzt.size >= k:
-                    threshold = np.partition(acc[nzt], nzt.size - k)[nzt.size - k]
+            nzt = np.flatnonzero(touched)
+            if nzt.size >= k:
+                threshold = np.partition(acc[nzt], nzt.size - k)[nzt.size - k]
         nz = np.flatnonzero(touched)
         return topk_from_scores(nz + self.doc_lo, acc[nz], k)
 
     def score_block_max_wand(
         self, terms: list[str], weights: np.ndarray, scheme: str, k: int
     ) -> list[tuple[int, float]]:
-        """Doc-at-a-time WAND with block (chunk) maxima and a bounded
-        min-heap (north-star algorithm).  Cursors advance over each query
-        term's chunk list; the pivot rule skips documents whose upper-bound
-        sum cannot beat the current k-th score."""
-        found = self._gather(terms, scheme)
+        """Block-max WAND over doc-id windows with a bounded min-heap (see
+        module docstring).  theta = k-th best score so far; a window whose
+        block-max bound is strictly below theta — and every window after
+        it in descending-bound order — is skipped entirely."""
+        found = self._gather(terms, weights)
         if not found:
             return []
-        bm = self.block_max[scheme]
-        cursors = []  # [ids array, wn array, pos, ub, wq]
-        for qi, rows in found:
-            wq = weights[qi]
-            ids = np.concatenate([self.doc_ids[r] for r in rows])
-            wn = np.concatenate([self.wn[scheme][r] for r in rows])
-            ub = wq * max(bm[r] for r in rows)
-            cursors.append([ids, wn, 0, ub, wq])
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-        while True:
-            live = [c for c in cursors if c[2] < len(c[0])]
-            if not live:
-                break
-            live.sort(key=lambda c: c[0][c[2]])
-            # pivot: first term where cumulative UB exceeds threshold
-            theta = heap[0][0] if len(heap) >= k else -np.inf
-            ub_sum = 0.0
-            pivot_doc = None
-            for c in live:
-                ub_sum += c[3]
-                if ub_sum > theta or len(heap) < k:
-                    pivot_doc = int(c[0][c[2]])
-                    break
-            if pivot_doc is None:
-                break  # no doc can beat theta
-            # advance all cursors to pivot_doc; fully score it
-            score = 0.0
-            for c in live:
-                ids, wn, pos = c[0], c[1], c[2]
-                pos = int(np.searchsorted(ids, pivot_doc, side="left"))
-                c[2] = pos
-                if pos < len(ids) and ids[pos] == pivot_doc:
-                    score += wn[pos] * c[4]
-                    c[2] = pos + 1
-            cand = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, cand)
-            elif cand > heap[0]:
-                heapq.heapreplace(heap, cand)
+        n_win = (self._span + WINDOW - 1) // WINDOW
+        ub = np.zeros(n_win, dtype=np.float64)
+        for wq, d in found:
+            ub[d.win_ids] += d.wmax[scheme] * wq  # win_ids unique per term
+        order = np.argsort(-ub, kind="stable")
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) bounded min-heap
+        theta = -np.inf
+        acc = np.empty(WINDOW, dtype=np.float64)
+        for w in order:
+            w_ub = ub[w]
+            if w_ub <= 0.0 or (len(heap) >= k and w_ub < theta):
+                break  # no remaining window can beat theta
+            lo = self.doc_lo + int(w) * WINDOW
+            hi = lo + WINDOW
+            acc[:] = 0.0
+            for wq, d in found:
+                s, e = np.searchsorted(d.ids, (lo, hi))
+                if s < e:
+                    acc[d.ids[s:e] - lo] += d.wn[scheme][s:e] * wq
+            if len(heap) >= k:
+                cand_idx = np.flatnonzero(acc >= theta)
+            else:
+                cand_idx = np.flatnonzero(acc)
+            for i in cand_idx:
+                cand = (float(acc[i]), -(lo + int(i)))
+                if len(heap) < k:
+                    heapq.heappush(heap, cand)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+                    theta = heap[0][0]
         out = [(-nd, s) for s, nd in heap]
         out.sort(key=lambda t: (-t[1], t[0]))
         return out
@@ -213,11 +239,20 @@ class ShardState:
 
 @ray.remote
 class IndexShardActor:
-    def __init__(self, files: list[str]) -> None:
-        self.state = ShardState(files)
+    def __init__(
+        self, files: list[str], df_ref, N: int, avgdl: float
+    ) -> None:
+        df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        self.state = ShardState(files, df_map, N, avgdl)
 
     def score(self, terms, weights, scheme, k, algorithm):
         return self.state.score(terms, weights, scheme, k, algorithm)
+
+    def score_many(self, queries, scheme, k, algorithm):
+        """Batch form: [(terms, weights), ...] -> list of partial top-ks."""
+        return [
+            self.state.score(t, w, scheme, k, algorithm) for t, w in queries
+        ]
 
     def ready(self) -> bool:
         return True
@@ -242,12 +277,17 @@ class QueryEngine:
         if not files:
             raise FileNotFoundError(f"no shards under {meta.out_dir}")
         n = min(self.config.num_actors, len(files))
-        groups = [files[i::n] for i in range(n)]
+        # contiguous doc-range groups per actor (files are salt-ordered)
+        groups = [g.tolist() for g in np.array_split(np.array(files), n)]
         self.local = local
+        N, avgdl = meta.N, meta.avg_doc_len
         if local:
-            self.states = [ShardState(g) for g in groups]
+            self.states = [ShardState(g, self.df_map, N, avgdl) for g in groups]
         else:
-            self.actors = [IndexShardActor.remote(g) for g in groups]
+            df_ref = ray.put(self.df_map)
+            self.actors = [
+                IndexShardActor.remote(g, df_ref, N, avgdl) for g in groups
+            ]
             ray.get([a.ready.remote() for a in self.actors])
 
     def parse(self, text: str) -> tuple[list[str], np.ndarray, float]:
@@ -258,25 +298,7 @@ class QueryEngine:
         terms = list(q_tfs)
         return terms, np.array([weights[t] for t in terms]), q_norm
 
-    def query(
-        self,
-        text: str,
-        scheme: str | None = None,
-        k: int | None = None,
-        algorithm: str | None = None,
-    ) -> list[dict]:
-        scheme = scheme or self.config.scheme
-        k = k or self.config.top_k
-        algorithm = algorithm or self.config.algorithm
-        terms, weights, q_norm = self.parse(text)
-        if not terms or q_norm == 0.0:
-            return []
-        if self.local:
-            partials = [s.score(terms, weights, scheme, k, algorithm) for s in self.states]
-        else:
-            partials = ray.get(
-                [a.score.remote(terms, weights, scheme, k, algorithm) for a in self.actors]
-            )
+    def _finish(self, partials, k: int, q_norm: float) -> list[dict]:
         merged = [(doc, s) for part in partials for doc, s in part]
         merged.sort(key=lambda t: (-t[1], t[0]))
         top = merged[:k]
@@ -296,3 +318,68 @@ class QueryEngine:
             }
             for r, (doc, s) in enumerate(top)
         ]
+
+    def query(
+        self,
+        text: str,
+        scheme: str | None = None,
+        k: int | None = None,
+        algorithm: str | None = None,
+    ) -> list[dict]:
+        scheme = scheme or self.config.scheme
+        k = k or self.config.top_k
+        algorithm = algorithm or self.config.algorithm
+        terms, weights, q_norm = self.parse(text)
+        if not terms or q_norm == 0.0:
+            return []
+        if self.local:
+            partials = [
+                s.score(terms, weights, scheme, k, algorithm) for s in self.states
+            ]
+        else:
+            partials = ray.get(
+                [
+                    a.score.remote(terms, weights, scheme, k, algorithm)
+                    for a in self.actors
+                ]
+            )
+        return self._finish(partials, k, q_norm)
+
+    def query_many(
+        self,
+        texts: list[str],
+        scheme: str | None = None,
+        k: int | None = None,
+        algorithm: str | None = None,
+    ) -> list[list[dict]]:
+        """Batch scoring: ONE round-trip per actor for the whole query set
+        (throughput path; per-query fan-out is the latency path)."""
+        scheme = scheme or self.config.scheme
+        k = k or self.config.top_k
+        algorithm = algorithm or self.config.algorithm
+        parsed = [self.parse(t) for t in texts]
+        live = [
+            (i, terms, weights, q_norm)
+            for i, (terms, weights, q_norm) in enumerate(parsed)
+            if terms and q_norm != 0.0
+        ]
+        results: list[list[dict]] = [[] for _ in texts]
+        if not live:
+            return results
+        payload = [(terms, weights) for _, terms, weights, _ in live]
+        if self.local:
+            per_actor = [
+                [s.score(t, w, scheme, k, algorithm) for t, w in payload]
+                for s in self.states
+            ]
+        else:
+            per_actor = ray.get(
+                [
+                    a.score_many.remote(payload, scheme, k, algorithm)
+                    for a in self.actors
+                ]
+            )
+        for j, (i, _terms, _weights, q_norm) in enumerate(live):
+            partials = [actor_out[j] for actor_out in per_actor]
+            results[i] = self._finish(partials, k, q_norm)
+        return results

@@ -31,27 +31,54 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max
+
+
+def _conv_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (conv_id, partial count, partial max turn)."""
+    g = batch.select(["conv_id", "turn_idx"]).group_by("conv_id").aggregate(
+        [("turn_idx", "count"), ("turn_idx", "max")]
+    )
+    return pa.table(
+        {
+            "conv_id": g["conv_id"],
+            "n": g["turn_idx_count"],
+            "max_turn": g["turn_idx_max"],
+        }
+    )
 
 
 def conversation_offsets(ds: ray.data.Dataset) -> tuple[dict[str, int], int]:
     """-> ({conv_id: base_doc_id}, total_doc_count).
 
-    Validates turn density: within a conversation, turn_idx must be exactly
-    0..count-1 (so ``base + turn_idx`` is a bijection onto 0..N-1).
+    Pre-aggregated inside ``map_batches`` (combiner), final merge on the
+    driver over conversation-sized partials — no Ray all-to-all for what is
+    a vocabulary-of-conversations-sized aggregate.  Validates turn density:
+    within a conversation, turn_idx must be exactly 0..count-1 (so
+    ``base + turn_idx`` is a bijection onto 0..N-1).
     """
-    agg = ds.groupby("conv_id").aggregate(Count(), Max("turn_idx")).take_all()
-    agg.sort(key=lambda r: r["conv_id"])
+    refs = ds.map_batches(_conv_partial, batch_format="pyarrow").to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return {}, 0
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("conv_id")
+        .aggregate([("n", "sum"), ("max_turn", "max")])
+        .sort_by("conv_id")
+    )
     offsets: dict[str, int] = {}
     base = 0
-    for row in agg:
-        n, max_turn = row["count()"], row["max(turn_idx)"]
+    for conv_id, n, max_turn in zip(
+        agg["conv_id"].to_pylist(),
+        agg["n_sum"].to_pylist(),
+        agg["max_turn_max"].to_pylist(),
+    ):
         if max_turn != n - 1:
             raise ValueError(
-                f"conversation {row['conv_id']!r} has non-dense or duplicate "
+                f"conversation {conv_id!r} has non-dense or duplicate "
                 f"turn_idx (count={n}, max={max_turn})"
             )
-        offsets[row["conv_id"]] = base
+        offsets[conv_id] = base
         base += n
     return offsets, base
 

@@ -57,30 +57,68 @@ def range_size_for(n_docs: int, salt_buckets: int) -> int:
 def merge_salt_table(triples: pa.Table, salt: int) -> pa.Table:
     """All SPIMI-run triples of ONE salt partition -> compressed chunk rows.
 
-    Vectorized: one Arrow sort by (term, doc_id), numpy run-boundary
-    detection, then one encode per distinct term (numpy slices, no per-row
-    work).  Doc sets of SPIMI runs are disjoint (a doc is one row of one
-    batch), so within a partition every (term, doc_id) is unique —
-    ``encode_postings`` raises on violations (SURVEY.md §2.9 invariant).
+    Fast path: when the triples arrive doc_id-non-decreasing (the normal
+    case — each run is written doc-sorted and the caller concatenates runs
+    by ascending ``doc_lo``; ranges are disjoint when the input is in conv
+    order), a single STABLE sort on the term code yields per-term
+    doc-sorted postings for free — the distributed form of the reference's
+    monotone-docId invariant (``index/SPIMI.java:89-97``, the
+    insertion-ordered posting maps).  Interleaved runs (unsorted input
+    files) fall back to a full (term, doc) lexsort.
+
+    Vectorized via term DICTIONARY ENCODING: strings are hashed to int32
+    codes once (Arrow C++), the sort is a stable numpy radix sort over int
+    codes, boundary detection is an int diff, and the term strings are
+    materialized once per DISTINCT term for the output rows — no
+    object-dtype string array over the full posting stream.
+
+    Doc sets of SPIMI runs are disjoint (a doc is one row of one batch), so
+    within a partition every (term, doc_id) is unique — ``encode_postings``
+    raises on violations, which also catches any caller that broke the
+    doc-order precondition (SURVEY.md §2.9 invariant).
     """
     if triples.num_rows == 0:
         return CHUNK_SCHEMA.empty_table()
-    tbl = triples.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-    terms = np.asarray(tbl["term"].to_numpy(zero_copy_only=False), dtype=object)
-    doc_ids = tbl["doc_id"].to_numpy()
-    tfs = tbl["tf"].to_numpy()
-    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    import pyarrow.compute as pc
+
+    term_col = triples["term"].combine_chunks()  # unifies run dictionaries
+    enc = (
+        term_col
+        if pa.types.is_dictionary(term_col.type)
+        else pc.dictionary_encode(term_col)
+    )
+    dictionary = enc.dictionary
+    codes = enc.indices.to_numpy()
+    # rank[dict_index] = lexicographic position of that term
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    sorted_dict_idx = np.asarray(pc.array_sort_indices(dictionary).to_numpy())
+    rank[sorted_dict_idx] = np.arange(len(dictionary))
+    doc_ids = triples["doc_id"].to_numpy()
+    tfs = triples["tf"].to_numpy()
+    if np.all(doc_ids[1:] >= doc_ids[:-1]):
+        # common case: runs arrived globally doc-sorted — one stable sort
+        order = np.argsort(rank[codes], kind="stable")
+    else:
+        # runs interleave doc ranges (e.g. unsorted input files): full sort
+        order = np.lexsort((doc_ids, rank[codes]))
+    key = rank[codes][order]
+    doc_ids = doc_ids[order]
+    tfs = tfs[order]
+    change = np.flatnonzero(np.diff(key)) + 1
     starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(terms)]))
+    ends = np.concatenate((change, [len(key)]))
     id_bytes: list[bytes] = []
     tf_bytes: list[bytes] = []
     for s, e in zip(starts, ends):
         ib, tb = encode_postings(doc_ids[s:e], tfs[s:e])
         id_bytes.append(ib)
         tf_bytes.append(tb)
+    term_col = dictionary.take(
+        pa.array(sorted_dict_idx[key[starts]], type=pa.int64())
+    )
     return pa.table(
         {
-            "term": pa.array(terms[starts], type=pa.string()),
+            "term": term_col,
             "salt": pa.array(
                 np.full(starts.size, salt, dtype=np.int32), type=pa.int32()
             ),

@@ -1,30 +1,28 @@
-"""Per-salt finalization: term weighting, cosine norms, shard rows (A7).
+"""Doc stats + cosine norms + normalized weights, derived from the chunks.
 
 The reference recomputes every posting's weighted tf and every document's L2
 norm on EVERY query (``search/QueryParser.java:108-133`` walks the whole
-index and mutates it).  The rebuild computes the same float64 values once at
-build time, per weighting scheme (w1 / w2), and stores the *normalized*
-weight ``wn(t,d) = w(t,d) / ||d_w||`` directly in the index shards:
+index per query and mutates it).  The rebuild computes them ONCE per serving
+session at query-actor LOAD time — not per query, and not as a build stage:
 
-    score(d) = sum_t wn(t,d) * w(t,q) / ||q||
+- the on-disk index stores only compressed postings (stages/merge.py chunks)
+  plus the doclen table written free during tokenize.  Materializing
+  normalized weights (two float64 lists per posting) or a separate norms
+  table would add build I/O for values that are a cheap vectorized function
+  of what a shard actor already holds;
+- a salt partition is a contiguous doc-id range holding ALL postings of its
+  documents, so ``doc_len``, ``max_tf`` and the per-scheme L2 norms are
+  exact LOCAL computations — dense bincount/scatter over the range, no
+  shuffle, no sort, no broadcast doc-side tables;
+- the only global inputs are scalars (N, avgdl) and the df table, broadcast
+  via ``ray.put`` (term -> df dict, Zipf-small relative to postings).  At a
+  vocabulary too large to broadcast, df is written term-range-partitioned
+  and each actor streams only the term ranges its chunk rows contain (chunk
+  rows are term-sorted, so that read is a single merge pass).
 
-so the query path needs NO doc-side side-tables at all.  Per-chunk maxima of
-wn (chunks are contiguous doc-id ranges = natural blocks) give block-max
-upper bounds for WAND.
-
-Locality argument (why this stage needs NO shuffle): a salt partition is a
-doc-id range and holds ALL postings of its documents — so ``doc_len``,
-``max_tf`` and the L2 norms are exact local computations inside one salt
-task.  The only global inputs are scalars (N, avgdl) and the df table.  df
-is broadcast via ``ray.put`` (term -> df dict, Zipf-small relative to
-postings); at 10^12-doc scale with a huge vocabulary the df table is instead
-written term-range-partitioned and each salt task streams only the term
-ranges its chunk file contains (chunk rows are term-sorted, so that read is
-a single merge pass).
-
-Everything is vectorized: posting columns are decoded with the one-pass
-column decoder (functions/codec.py), weights/norms use numpy scatter-reduce,
-chunk maxima use ``np.maximum.reduceat``.
+Weights are bit-identical to the reference semantics: w1/w2 kernels in
+functions/scoring.py (incl. the Java integer-division idf quirk), norms
+accumulated in posting order (same float64 operation order everywhere).
 """
 
 from __future__ import annotations
@@ -36,92 +34,87 @@ from ..functions.codec import decode_postings_column
 from ..functions.scoring import w1_weight, w2_weight
 
 NORMS_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("nsq1", pa.float64()), ("nsq2", pa.float64())]
+    [
+        ("doc_id", pa.int64()),
+        ("doc_len", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("nsq1", pa.float64()),
+        ("nsq2", pa.float64()),
+    ]
 )
 
 
-def finalize_salt(
-    chunks: pa.Table, df_map: dict[str, int], N: int, avgdl: float
-) -> tuple[pa.Table, pa.Table]:
-    """One salt's merged chunk rows -> (norms table, shard table).
+def _decode_with_stats(chunks: pa.Table, df_map: dict[str, int], N: int, avgdl: float):
+    """Decode chunk rows and compute exact local doc stats + weights.
 
-    Returns per-doc squared-norm sums (the ``norms/`` artifact) and the
-    final shard rows with normalized weights + block maxima.
+    -> (doc_ids, tfs, lens, per-posting dense offsets, dense doc stats dict)
+    where dense arrays span [doc_ids.min(), doc_ids.max()].
     """
-    if chunks.num_rows == 0:
-        shard = pa.table(
-            {
-                "term": pa.array([], type=pa.string()),
-                "salt": pa.array([], type=pa.int32()),
-                "df": pa.array([], type=pa.int64()),
-                "n": pa.array([], type=pa.int64()),
-                "id_bytes": pa.array([], type=pa.binary()),
-                "tf_bytes": pa.array([], type=pa.binary()),
-                "wn1": pa.array([], type=pa.list_(pa.float64())),
-                "wn2": pa.array([], type=pa.list_(pa.float64())),
-                "max_wn1": pa.array([], type=pa.float64()),
-                "max_wn2": pa.array([], type=pa.float64()),
-            }
-        )
-        return NORMS_SCHEMA.empty_table(), shard
-
     doc_ids, tfs, lens = decode_postings_column(
         chunks["id_bytes"], chunks["tf_bytes"]
     )
-    if doc_ids.size >= 2**31:
-        raise ValueError("salt partition too large; raise salt_buckets")
     df_per_row = np.array(
         [df_map[t] for t in chunks["term"].to_pylist()], dtype=np.int64
     )
     dfs = np.repeat(df_per_row, lens)
+    lo = int(doc_ids.min())
+    span = int(doc_ids.max()) - lo + 1
+    off = doc_ids - lo
+    doc_len = np.bincount(off, weights=tfs, minlength=span).astype(np.int64)
+    max_tf = np.zeros(span, dtype=np.int64)
+    np.maximum.at(max_tf, off, tfs)
 
-    # local doc stats: the salt range holds all postings of its docs
-    uniq, inv = np.unique(doc_ids, return_inverse=True)
-    doc_len = np.zeros(uniq.size, dtype=np.int64)
-    max_tf = np.zeros(uniq.size, dtype=np.int64)
-    np.add.at(doc_len, inv, tfs)
-    np.maximum.at(max_tf, inv, tfs)
+    w1 = w1_weight(tfs, max_tf[off], dfs, N)
+    w2 = w2_weight(tfs, doc_len[off], dfs, N, avgdl)
+    nsq1 = np.bincount(off, weights=w1 * w1, minlength=span)
+    nsq2 = np.bincount(off, weights=w2 * w2, minlength=span)
+    stats = {
+        "lo": lo,
+        "doc_len": doc_len,
+        "max_tf": max_tf,
+        "nsq1": nsq1,
+        "nsq2": nsq2,
+    }
+    return doc_ids, tfs, lens, off, (w1, w2), stats
 
-    w1 = w1_weight(tfs, max_tf[inv], dfs, N)
-    w2 = w2_weight(tfs, doc_len[inv], dfs, N, avgdl)
-    nsq1 = np.zeros(uniq.size)
-    nsq2 = np.zeros(uniq.size)
-    np.add.at(nsq1, inv, w1 * w1)
-    np.add.at(nsq2, inv, w2 * w2)
-    norms_tbl = pa.table(
+
+def salt_stats_table(
+    chunks: pa.Table, df_map: dict[str, int], N: int, avgdl: float
+) -> pa.Table:
+    """Chunk rows -> doc-stats/norms table (one row per posted doc).
+
+    Derivable artifact — exposed for tests/debugging and as the A2/A3/A7
+    parity surface; the serving path computes the same values in-process.
+    """
+    if chunks.num_rows == 0:
+        return NORMS_SCHEMA.empty_table()
+    _ids, _tfs, _lens, _off, _w, s = _decode_with_stats(chunks, df_map, N, avgdl)
+    posted = np.flatnonzero(s["doc_len"])
+    return pa.table(
         {
-            "doc_id": pa.array(uniq, type=pa.int64()),
-            "nsq1": pa.array(nsq1, type=pa.float64()),
-            "nsq2": pa.array(nsq2, type=pa.float64()),
+            "doc_id": pa.array(posted + s["lo"], type=pa.int64()),
+            "doc_len": pa.array(s["doc_len"][posted], type=pa.int64()),
+            "max_tf": pa.array(s["max_tf"][posted], type=pa.int64()),
+            "nsq1": pa.array(s["nsq1"][posted], type=pa.float64()),
+            "nsq2": pa.array(s["nsq2"][posted], type=pa.float64()),
         }
     )
 
-    norm1 = np.sqrt(nsq1)
-    norm2 = np.sqrt(nsq2)
+
+def load_weights(
+    chunks: pa.Table, df_map: dict[str, int], N: int, avgdl: float
+) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray]]:
+    """Chunk rows -> (flat doc_ids, per-row lengths, {scheme: flat wn}).
+
+    The query-actor load path: normalized weight
+    ``wn(t,d) = w(t,d) / ||d_w||`` per posting, all local.
+    """
+    doc_ids, _tfs, lens, off, (w1, w2), s = _decode_with_stats(
+        chunks, df_map, N, avgdl
+    )
+    norm1 = np.sqrt(s["nsq1"])
+    norm2 = np.sqrt(s["nsq2"])
     norm1[norm1 == 0] = 1.0  # all-zero-weight docs never score; avoid 0/0
     norm2[norm2 == 0] = 1.0
-    wn1 = w1 / norm1[inv]
-    wn2 = w2 / norm2[inv]
-
-    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-    offsets[1:] = np.cumsum(lens)
-    wn1_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(wn1))
-    wn2_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(wn2))
-    # every chunk row has df_chunk >= 1 postings, so reduceat is safe
-    max1 = np.maximum.reduceat(wn1, offsets[:-1].astype(np.int64))
-    max2 = np.maximum.reduceat(wn2, offsets[:-1].astype(np.int64))
-    shard = pa.table(
-        {
-            "term": chunks["term"],
-            "salt": chunks["salt"],
-            "df": pa.array(df_per_row, type=pa.int64()),
-            "n": pa.array(lens, type=pa.int64()),
-            "id_bytes": chunks["id_bytes"],
-            "tf_bytes": chunks["tf_bytes"],
-            "wn1": wn1_col,
-            "wn2": wn2_col,
-            "max_wn1": pa.array(max1, type=pa.float64()),
-            "max_wn2": pa.array(max2, type=pa.float64()),
-        }
-    )
-    return norms_tbl, shard
+    wn = {"w1": w1 / norm1[off], "w2": w2 / norm2[off]}
+    return doc_ids, lens, wn

@@ -9,30 +9,39 @@ exact with no cross-batch combining.
 
 Map-side partitioning (the scale-critical design): the tokenizer knows each
 doc's salt (``doc_id // range_size`` — contiguous doc-id range buckets, see
-stages/merge.py) and writes its triples PARTITIONED BY SALT —
-``block-s{salt}-... .parquet`` — exactly like a MapReduce map task writing
-per-reducer runs.  The downstream merge then just groups files by salt: the
-"shuffle" is file placement, not a Ray all-to-all, and each reduce partition
-is independently resumable.  Per-batch doc lengths (``doc_len = sum tf``,
-``max_tf``) are exact locally (whole docs per batch) and are written to the
-doclen directory in the same pass — no ``groupby(doc_id)`` shuffle ever runs.
+stages/merge.py) and writes its triples PARTITIONED BY SALT — exactly like a
+MapReduce map task writing per-reducer runs.  The downstream merge then just
+reads its own partition: the "shuffle" is file placement, not a Ray
+all-to-all, and each reduce partition is independently resumable.
+
+File format for the runs: ONE Arrow IPC file per batch with ONE RECORD BATCH
+PER SALT (salt list + per-salt row counts in the schema metadata).  The IPC
+file format is random-access per record batch, so a reduce task extracts
+just its salt's batches by footer offset — per-salt reads WITHOUT writing
+batches × salts separate files (that M×R small-file explosion made file
+creation, not tokenization, the dominant cost of this stage) and without
+re-reading other salts' data.
+
+Per-batch doc lengths (``doc_len = sum tf``, ``max_tf``) are exact locally
+(whole docs per batch) and are written to the doclen directory in the same
+pass — no ``groupby(doc_id)`` shuffle ever runs.
 
 Two operating modes:
 
 - ``TokenizeCount`` returns the triples as the batch output (streaming, no
   disk) — used for ad-hoc queries and tests;
-- ``TokenizeWriteBlocks`` checkpoints per-salt block files + the doclen
-  partial with atomic renames and returns per-file lineage manifest rows.
+- ``TokenizeWriteBlocks`` checkpoints the per-batch run file + doclen
+  partial with atomic renames and returns per-salt lineage manifest rows.
   File names are content-derived (doc-id range + count + CRC), so retries
   and re-runs are idempotent: existing files are skipped, not rewritten.
 
-The tokenizer instance (with its memo cache) lives in ``__init__`` — once per
-actor process, not per batch (reference's stem memo cache,
-``index/Indexer.java:26-39``, generalized).
+The tokenizer instance (with its memo cache) lives once per worker process
+(reference's stem memo cache, ``index/Indexer.java:26-39``, generalized).
 """
 
 from __future__ import annotations
 
+import json
 import zlib
 from pathlib import Path
 
@@ -52,6 +61,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("file", pa.string()),
         ("kind", pa.string()),  # "block" | "doclen"
         ("salt", pa.int32()),  # -1 for doclen
+        ("batch_index", pa.int32()),  # record-batch index in the file; -1 doclen
         ("doc_lo", pa.int64()),
         ("doc_hi", pa.int64()),
         ("n_rows", pa.int64()),
@@ -92,15 +102,37 @@ class TokenizeCount:
         )
         return table, n_tokens
 
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         table, _ = self._triples(batch)
         return table
 
 
+def _block_meta(salts: list[int], rows: list[int], tokens: list[int]) -> dict:
+    return {
+        b"spimi": json.dumps(
+            {"salts": salts, "rows": rows, "tokens": tokens}
+        ).encode()
+    }
+
+
+def read_block_meta(path: Path) -> dict:
+    """Footer-only read of a run file's per-salt layout."""
+    with pa.OSFile(str(path), "rb") as f:
+        reader = pa.ipc.open_file(f)
+        return json.loads(reader.schema.metadata[b"spimi"].decode())
+
+
+def read_block_batches(path: str, indices: list[int]) -> list[pa.RecordBatch]:
+    """Random-access read of selected record batches: the IPC footer gives
+    each batch's offset, so only the requested salts' bytes are read."""
+    with pa.OSFile(path, "rb") as f:
+        reader = pa.ipc.open_file(f)
+        return [reader.get_batch(int(i)) for i in indices]
+
+
 class TokenizeWriteBlocks(TokenizeCount):
-    """Tokenize and checkpoint each batch as salt-partitioned SPIMI runs
-    plus a doclen partial."""
+    """Tokenize and checkpoint each batch as one salt-partitioned SPIMI run
+    file plus a doclen partial."""
 
     def __init__(
         self, mode: str, blocks_dir: str, doclen_dir: str, range_size: int
@@ -115,65 +147,87 @@ class TokenizeWriteBlocks(TokenizeCount):
         lo, hi, n = int(doc_ids.min()), int(doc_ids.max()), len(doc_ids)
         crc = zlib.crc32(np.ascontiguousarray(doc_ids).tobytes())
         stem = f"{lo:012d}-{hi:012d}-{n}-{crc:08x}"
+        blk_path = self.blocks_dir / f"block-{stem}.arrow"
+        dl_path = self.doclen_dir / f"doclen-{stem}.parquet"
         rows: list[dict] = []
 
         # resume fast-path: the doclen partial is written LAST, so its
-        # existence implies every per-salt block file of this batch exists
-        if (self.doclen_dir / f"doclen-{stem}.parquet").exists():
-            for f in sorted(self.blocks_dir.glob(f"block-s*-{stem}.parquet")):
-                rows.append(
-                    {
-                        "file": f.name,
-                        "kind": "block",
-                        "salt": int(f.name.split("-")[1][1:]),
-                        "doc_lo": lo,
-                        "doc_hi": hi,
-                        "n_rows": pq.read_metadata(f).num_rows,
-                        "n_tokens": -1,
-                        "skipped": True,
-                    }
-                )
+        # existence implies this batch's run file is complete
+        if dl_path.exists():
+            if blk_path.exists():
+                meta = read_block_meta(blk_path)
+                for i, (salt, nr, nt) in enumerate(
+                    zip(meta["salts"], meta["rows"], meta["tokens"])
+                ):
+                    rows.append(
+                        _mrow(blk_path.name, "block", salt, i, lo, hi, nr, nt, True)
+                    )
+            prev = pq.read_table(dl_path, columns=["doc_len"])
             rows.append(
-                {
-                    "file": f"doclen-{stem}.parquet",
-                    "kind": "doclen",
-                    "salt": -1,
-                    "doc_lo": lo,
-                    "doc_hi": hi,
-                    "n_rows": n,
-                    "n_tokens": -1,
-                    "skipped": True,
-                }
+                _mrow(
+                    dl_path.name,
+                    "doclen",
+                    -1,
+                    -1,
+                    lo,
+                    hi,
+                    prev.num_rows,
+                    # real token total so the driver can sum doc_len from
+                    # the manifest alone (no extra pass over doclen files)
+                    int(pa.compute.sum(prev["doc_len"]).as_py() or 0),
+                    True,
+                )
             )
             return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
 
         triples, n_tokens = self._triples(batch)
         t_ids = triples["doc_id"].to_numpy()
-        salts = (t_ids // self.range_size).astype(np.int32)
-        for salt in np.unique(salts):
-            part = triples.filter(pa.array(salts == salt))
-            name = f"block-s{int(salt):06d}-{stem}.parquet"
-            written = atomic_write_bytes(
-                self.blocks_dir / name, lambda tmp: pq.write_table(part, tmp)
+        t_tfs = triples["tf"].to_numpy()
+        # sorting by doc_id also groups salts (salt is monotone in doc_id)
+        # and makes every run doc_id-sorted — the merge's fast-path invariant
+        order = np.argsort(t_ids, kind="stable")
+        salts = (t_ids // self.range_size).astype(np.int64)
+        grouped = triples.take(pa.array(order)).combine_chunks()
+        # dictionary-encode terms once per run (all salt slices share the
+        # dictionary) + lz4 frames: the runs are the build's dominant I/O,
+        # and raw strings made them ~6x larger
+        import pyarrow.compute as pc
+
+        grouped = grouped.set_column(
+            0, "term", pc.dictionary_encode(grouped["term"].combine_chunks())
+        )
+        sorted_salts = salts[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(sorted_salts)) + 1, [len(sorted_salts)])
+        )
+        salt_vals = [int(s) for s in sorted_salts[bounds[:-1]]]
+        salt_rows = [int(b - a) for a, b in zip(bounds[:-1], bounds[1:])]
+        salt_tokens = [
+            int(t_tfs[order[a:b]].sum()) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+
+        def write_run(tmp: Path) -> None:
+            schema = grouped.schema.with_metadata(
+                _block_meta(salt_vals, salt_rows, salt_tokens)
             )
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            with pa.OSFile(str(tmp), "wb") as sink:
+                with pa.ipc.new_file(sink, schema, options=opts) as writer:
+                    for a, b in zip(bounds[:-1], bounds[1:]):
+                        part = grouped.slice(a, b - a)
+                        for rb in part.to_batches():
+                            writer.write_batch(rb)
+
+        written = atomic_write_bytes(blk_path, write_run)
+        for i, (salt, nr, nt) in enumerate(zip(salt_vals, salt_rows, salt_tokens)):
             rows.append(
-                {
-                    "file": name,
-                    "kind": "block",
-                    "salt": int(salt),
-                    "doc_lo": lo,
-                    "doc_hi": hi,
-                    "n_rows": part.num_rows,
-                    "n_tokens": int(part["tf"].to_numpy().sum()),
-                    "skipped": not written,
-                }
+                _mrow(blk_path.name, "block", salt, i, lo, hi, nr, nt, not written)
             )
 
         # exact per-doc lengths: every doc's postings are fully in `triples`
         uniq, inv = np.unique(t_ids, return_inverse=True)
         dl = np.zeros(uniq.size, dtype=np.int64)
         mx = np.zeros(uniq.size, dtype=np.int64)
-        t_tfs = triples["tf"].to_numpy()
         np.add.at(dl, inv, t_tfs)
         np.maximum.at(mx, inv, t_tfs)
         dl_tbl = pa.table(
@@ -183,20 +237,58 @@ class TokenizeWriteBlocks(TokenizeCount):
                 "max_tf": pa.array(mx, type=pa.int64()),
             }
         )
-        dl_name = f"doclen-{stem}.parquet"
         written = atomic_write_bytes(
-            self.doclen_dir / dl_name, lambda tmp: pq.write_table(dl_tbl, tmp)
+            dl_path, lambda tmp: pq.write_table(dl_tbl, tmp)
         )
         rows.append(
-            {
-                "file": dl_name,
-                "kind": "doclen",
-                "salt": -1,
-                "doc_lo": lo,
-                "doc_hi": hi,
-                "n_rows": dl_tbl.num_rows,
-                "n_tokens": n_tokens,
-                "skipped": not written,
-            }
+            _mrow(
+                dl_path.name,
+                "doclen",
+                -1,
+                -1,
+                lo,
+                hi,
+                dl_tbl.num_rows,
+                n_tokens,
+                not written,
+            )
         )
         return pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
+
+
+def _mrow(file, kind, salt, batch_index, lo, hi, n_rows, n_tokens, skipped):
+    return {
+        "file": file,
+        "kind": kind,
+        "salt": int(salt),
+        "batch_index": int(batch_index),
+        "doc_lo": lo,
+        "doc_hi": hi,
+        "n_rows": int(n_rows),
+        "n_tokens": int(n_tokens),
+        "skipped": bool(skipped),
+    }
+
+
+_WRITER_CACHE: dict[tuple, TokenizeWriteBlocks] = {}
+
+
+def tokenize_write_blocks(
+    batch: pa.Table, *, mode: str, blocks_dir: str, doclen_dir: str, range_size: int
+) -> pa.Table:
+    """Task-form of :class:`TokenizeWriteBlocks` with a per-worker-process
+    instance cache.
+
+    Ray reuses worker processes across batches, so the pipeline (compiled
+    regexes, stem memo cache) is built once per process — the same
+    amortization an actor pool gives, WITHOUT the actor-pool cold start
+    (spawning + importing in N fresh actor processes was the dominant cost
+    of the build at high parallelism, and tasks share the already-warm
+    default worker pool with the upstream read)."""
+    key = (mode, blocks_dir, doclen_dir, range_size)
+    writer = _WRITER_CACHE.get(key)
+    if writer is None:
+        writer = _WRITER_CACHE[key] = TokenizeWriteBlocks(
+            mode, blocks_dir, doclen_dir, range_size
+        )
+    return writer(batch)

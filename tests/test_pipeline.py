@@ -31,7 +31,7 @@ def built(ray_session, corpus):
     from ir_search_engine_ray.pipelines.index_build import build_index
 
     shutil.rmtree(OUT, ignore_errors=True)
-    meta = build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
+    meta = build_index(str(corpus / "transcripts"), OUT, concurrency=2)
     return meta
 
 
@@ -39,7 +39,7 @@ def built(ray_session, corpus):
 def oracle_idx(corpus):
     from ir_search_engine_ray.oracle import build_oracle_index
 
-    t = pq.read_table(corpus / "transcripts.parquet")
+    t = pq.read_table(corpus / "transcripts")
     rows = list(
         zip(
             t["conv_id"].to_pylist(),
@@ -95,16 +95,30 @@ class TestIndexEquivalence:
         assert got == {t: len(p) for t, p in oracle_idx.postings.items()}
 
     def test_norms_match(self, built, oracle_idx):
-        t = pq.read_table(built.out_dir / "norms")
-        for row_doc, nsq1, nsq2 in zip(
-            t["doc_id"].to_pylist(), t["nsq1"].to_pylist(), t["nsq2"].to_pylist()
-        ):
-            assert np.sqrt(nsq1) == pytest.approx(
-                oracle_idx.norms["w1"][row_doc], rel=1e-9
+        """The derived doc-stats/norms surface (stages/norms.py, the same
+        computation the query actors run at load) matches the oracle."""
+        from ir_search_engine_ray.stages.norms import salt_stats_table
+
+        df_map = built.df_map()
+        for f in built.shard_files():
+            t = salt_stats_table(
+                pq.read_table(f), df_map, built.N, built.avg_doc_len
             )
-            assert np.sqrt(nsq2) == pytest.approx(
-                oracle_idx.norms["w2"][row_doc], rel=1e-9
-            )
+            for row_doc, dl, mx, nsq1, nsq2 in zip(
+                t["doc_id"].to_pylist(),
+                t["doc_len"].to_pylist(),
+                t["max_tf"].to_pylist(),
+                t["nsq1"].to_pylist(),
+                t["nsq2"].to_pylist(),
+            ):
+                assert dl == oracle_idx.doc_len[row_doc]
+                assert mx == oracle_idx.max_tf[row_doc]
+                assert np.sqrt(nsq1) == pytest.approx(
+                    oracle_idx.norms["w1"][row_doc], rel=1e-9
+                )
+                assert np.sqrt(nsq2) == pytest.approx(
+                    oracle_idx.norms["w2"][row_doc], rel=1e-9
+                )
 
 
 class TestDeterminism:
@@ -116,7 +130,7 @@ class TestDeterminism:
         from ir_search_engine_ray.config import IndexConfig
         from ir_search_engine_ray.pipelines.index_build import build_index
 
-        t = pq.read_table(corpus / "transcripts.parquet")
+        t = pq.read_table(corpus / "transcripts")
         rng = np.random.default_rng(5)
         perm = rng.permutation(t.num_rows)
         shuffled = t.take(perm)
@@ -139,7 +153,7 @@ class TestDeterminism:
 
         from ir_search_engine_ray.pipelines.index_build import build_index
 
-        t = pq.read_table(corpus / "transcripts.parquet")
+        t = pq.read_table(corpus / "transcripts")
         dup = pa.concat_tables([t, t.slice(0, 5)])
         pq.write_table(dup, tmp_path / "dup.parquet")
         with pytest.raises(ValueError, match="non-dense or duplicate"):
@@ -189,26 +203,56 @@ class TestResume:
 
         shard = built.shard_files()[0]
         mtime = shard.stat().st_mtime_ns
-        build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
+        build_index(str(corpus / "transcripts"), OUT, concurrency=2)
         assert shard.stat().st_mtime_ns == mtime  # nothing rewritten
 
     def test_partial_shard_resume(self, ray_session, built, corpus):
-        """Kill-mid-shard simulation: drop the stage marker and one shard
-        file; the resumed build must rewrite only the missing shard and end
-        with an identical index."""
+        """Kill-mid-stage simulation: drop the chunks stage marker and one
+        chunk (= serving shard) file; the resumed build must rewrite only
+        the missing partition and end with an identical index."""
         from ir_search_engine_ray.pipelines.index_build import build_index
 
         shards = built.shard_files()
         victim, survivor = shards[0], shards[1]
         survivor_mtime = survivor.stat().st_mtime_ns
         before = pq.read_table(victim)
-        (built.out_dir / "shards" / "_SUCCESS").unlink()
+        (built.out_dir / "chunks" / "_SUCCESS").unlink()
         victim.unlink()
-        build_index(str(corpus / "transcripts.parquet"), OUT, concurrency=2)
-        marker = json.loads((built.out_dir / "shards" / "_SUCCESS").read_text())
-        by_shard = {m["shard"]: m for m in marker["shards"]}
-        assert by_shard[int(victim.stem.split("-")[1])]["skipped"] is False
-        assert by_shard[int(survivor.stem.split("-")[1])]["skipped"] is True
+        build_index(str(corpus / "transcripts"), OUT, concurrency=2)
+        marker = json.loads((built.out_dir / "chunks" / "_SUCCESS").read_text())
+        by_salt = {m["salt"]: m for m in marker["chunks"]}
+        assert by_salt[int(victim.stem[7:])]["skipped"] is False
+        assert by_salt[int(survivor.stem[7:])]["skipped"] is True
         assert survivor.stat().st_mtime_ns == survivor_mtime
         after = pq.read_table(victim)
         assert before.equals(after)
+
+    def test_blocks_partial_resume(self, ray_session, built, corpus):
+        """Per-batch resume inside the tokenize stage: drop the stage marker
+        and one run file; the rebuild re-tokenizes only the missing batch
+        (other batches hit the doclen fast-path) and the index is
+        unchanged."""
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        out = Path("/tmp/graft_test_blocks_resume")
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = IndexConfig(tokenize_batch_size=128)
+        build_index(str(corpus / "transcripts"), out, cfg, concurrency=2)
+        blocks = sorted((out / "blocks").glob("block-*.arrow"))
+        doclens = sorted((out / "doclen").glob("doclen-*.parquet"))
+        assert len(blocks) > 1
+        victim_b, victim_d = blocks[0], doclens[0]
+        survivor = blocks[1]
+        survivor_mtime = survivor.stat().st_mtime_ns
+        postings_before = _engine_postings(out)
+        (out / "blocks" / "_SUCCESS").unlink()
+        victim_b.unlink()
+        victim_d.unlink()
+        # chunk markers must also re-run since runs were rewritten
+        (out / "chunks" / "_SUCCESS").unlink()
+        for f in sorted((out / "chunks").glob("chunk-s*.parquet")):
+            f.unlink()
+        build_index(str(corpus / "transcripts"), out, cfg, concurrency=2)
+        assert survivor.stat().st_mtime_ns == survivor_mtime
+        assert _engine_postings(out) == postings_before
