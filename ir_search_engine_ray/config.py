@@ -21,7 +21,7 @@ class IndexConfig:
     # term's posting list by contiguous doc-id range; the ranges double as
     # the doc-partitioned query shards (see stages/merge.py)
     salt_buckets: int = 8
-    tokenize_batch_size: int = 16384
+    tokenize_batch_size: int = 32768
 
     def fingerprint(self) -> str:
         return hashlib.sha256(

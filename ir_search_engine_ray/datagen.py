@@ -133,18 +133,35 @@ def generate_transcripts(n_turns: int, seed: int = 0) -> pa.Table:
     nasty_pick = nasty[rng.integers(0, len(nasty), size=total_tokens)]
     tokens = np.where(kind == 0, content_pick, np.where(kind == 1, stop_pick, nasty_pick))
 
-    texts = []
-    pos = 0
-    for ln in lens:
-        texts.append(" ".join(tokens[pos : pos + ln]))
-        pos += ln
+    # vectorized join: tokens as Arrow list columns -> binary_join, in row
+    # slices so each token array stays under the 32-bit string-offset limit
+    import pyarrow.compute as pc
+
+    tok_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_offsets[1:])
+    text_chunks = []
+    step = 1_000_000
+    for r0 in range(0, n_rows, step):
+        r1 = min(r0 + step, n_rows)
+        t0, t1 = tok_offsets[r0], tok_offsets[r1]
+        offs = (tok_offsets[r0 : r1 + 1] - t0).astype(np.int32)
+        tok_arr = pa.array(tokens[t0:t1], type=pa.string())
+        if isinstance(tok_arr, pa.ChunkedArray):
+            tok_arr = tok_arr.combine_chunks()
+        text_chunks.append(
+            pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), tok_arr),
+                " ",
+            )
+        )
+    texts = pa.chunked_array(text_chunks)
 
     return pa.table(
         {
             "conv_id": pa.array(conv_ids[conv_idx], type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(roles, type=pa.string()),
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
             "tool": pa.array(tools, type=pa.string()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
@@ -175,7 +192,7 @@ def generate_queries(n_queries: int = 20, seed: int = 1) -> pa.Table:
     return pa.table(
         {
             "query_id": pa.array(np.arange(n_queries, dtype=np.int32)),
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
         }
     )
 

@@ -1,0 +1,192 @@
+"""Training-data extras: dedup, ANN, text analysis, multimodal plumbing.
+
+Each operator is checked against a small hand-constructed corpus with known
+answers, and (where it matters for distributed correctness) across different
+partitionings of the same input.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows, num_blocks=1):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about thermal boundary layers in flow"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "le chat est sur la table et il est content avec le lait"),
+]
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        out = dedup.exact_dedup(_docs_ds(CORPUS)).to_pandas()
+        surv = dict(zip(out["doc_id"], out["n_copies"]))
+        assert surv[0] == 2  # doc 3 collapsed into doc 0 (min doc_id wins)
+        assert 3 not in surv
+        assert surv[1] == 1 and surv[2] == 1
+
+    def test_minhash_finds_near_dup(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(CORPUS, num_blocks=2)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        verified = dedup.verify_jaccard(pairs, docs, threshold=0.5).to_pandas()
+        got = {tuple(p) for p in verified[["doc_a", "doc_b"]].itertuples(index=False)}
+        assert (0, 1) in got  # near-dup pair
+        assert (0, 3) in got  # exact dup pair (jaccard 1.0)
+        assert all({a, b} & {2, 4} == set() for a, b in got)  # no false pairs
+
+    def test_jaccard_values_exact(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(CORPUS)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        out = dedup.verify_jaccard(pairs, docs, threshold=0.0).to_pandas()
+        jac = {
+            (a, b): j
+            for a, b, j in out[["doc_a", "doc_b", "jaccard"]].itertuples(index=False)
+        }
+        assert jac[(0, 3)] == 1.0
+        # 12-token docs differing in final token: 10 shared / 12 total 3-shingles
+        sa = dedup._shingles(CORPUS[0][1], 3)
+        sb = dedup._shingles(CORPUS[1][1], 3)
+        expect = round(len(sa & sb) / len(sa | sb), 6)
+        assert jac[(0, 1)] == expect
+
+    def test_simhash_identical_docs_hamming_zero(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        out = dedup.simhash_candidate_pairs(
+            _docs_ds(CORPUS), max_hamming=8
+        ).to_pandas()
+        ham = {
+            (a, b): h
+            for a, b, h in out[["doc_a", "doc_b", "hamming"]].itertuples(index=False)
+        }
+        assert ham[(0, 3)] == 0
+
+
+class TestANN:
+    def _emb_ds(self, n=200, dim=16, seed=5):
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, dim))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(4), mat
+
+    def test_cosine_topk_matches_numpy(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb_ds()
+        q = mat[0]
+        got = ann.cosine_topk(ds, q, k=10, exclude=0).to_pandas()
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        cos[0] = -np.inf
+        want_ids = np.lexsort((np.arange(len(cos)), -cos))[:10]
+        assert got["vec_id"].tolist() == want_ids.tolist()
+        assert np.allclose(got["cosine"], np.round(cos[want_ids], 6))
+
+    def test_ivf_full_probe_is_exact(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb_ds(n=120)
+        q = mat[7]
+        exact = ann.cosine_topk(ds, q, k=5, exclude=7).to_pandas()
+        ivf = ann.ivf_topk(
+            ds, q, k=5, nlist=8, nprobe=8, exclude=7
+        ).to_pandas()
+        assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+
+    def test_ivf_partial_probe_recall(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb_ds(n=300)
+        q = mat[11]
+        exact = set(ann.cosine_topk(ds, q, k=10, exclude=11)["vec_id"].to_pylist())
+        ivf = set(
+            ann.ivf_topk(ds, q, k=10, nlist=8, nprobe=4, exclude=11)[
+                "vec_id"
+            ].to_pylist()
+        )
+        assert len(exact & ivf) >= 5  # approximate, but not garbage
+
+
+class TestTextStats:
+    def test_token_count_and_lang(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        ds = _docs_ds(CORPUS)
+        tc = ds.map_batches(textstats.token_count, batch_format="pyarrow").to_pandas()
+        counts = dict(zip(tc["doc_id"], tc["n_tokens"]))
+        assert counts[0] == len(CORPUS[0][1].split())
+        lang = ds.map_batches(textstats.lang_id, batch_format="pyarrow").to_pandas()
+        langs = dict(zip(lang["doc_id"], lang["lang_guess"]))
+        assert langs[0] == "en"
+        assert langs[4] == "fr"
+
+    def test_fingerprint_order_sensitive(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        ds = _docs_ds([(0, "alpha beta gamma"), (1, "gamma beta alpha"),
+                       (2, "alpha, beta;  gamma!")])
+        out = ds.map_batches(
+            textstats.doc_fingerprint, batch_format="pyarrow"
+        ).to_pandas()
+        fp = dict(zip(out["doc_id"], out["fingerprint"]))
+        assert fp[0] != fp[1]  # order matters
+        assert fp[0] == fp[2]  # punctuation/whitespace does not
+
+
+class TestMultimodal:
+    def test_decode_features_shape_and_determinism(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import multimodal
+
+        t = multimodal.synth_media_table(40)
+        a = multimodal.decode_features(
+            ray.data.from_arrow(t), feature_dim=8, batch_size=16
+        ).to_pandas()
+        b = multimodal.decode_features(
+            ray.data.from_arrow(t).repartition(5), feature_dim=8, batch_size=4
+        ).to_pandas()
+        a = a.sort_values("media_id", ignore_index=True)
+        b = b.sort_values("media_id", ignore_index=True)
+        assert len(a) == 40
+        assert all(len(f) == 8 for f in a["features"])
+        assert a["payload_digest"].tolist() == b["payload_digest"].tolist()
+        for fa, fb in zip(a["features"], b["features"]):
+            assert np.allclose(fa, fb)
+
+    def test_real_decode_is_stubbed(self):
+        from ir_search_engine_ray.extras import multimodal
+
+        if multimodal._have_real_decoder():  # pragma: no cover
+            pytest.skip("decoder present")
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeMedia(real=True)
