@@ -175,6 +175,26 @@ def q_topk_w2_simple(sf_dir: str) -> pa.Table:
     return topk_table(sf_dir, "simple", "w2")
 
 
+def q_topk_w2_snippet(sf_dir: str) -> pa.Table:
+    """Top-k joined with a 60-char headline from the source turn — the
+    reference's result formatting (rank, name, score, headline;
+    ``search/Driver.java:88-105``, M10/J3/S10)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    top = topk_table(sf_dir, "simple", "w2")
+    path = _transcripts_path(sf_dir)
+    t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+    offsets, _total = conversation_offsets(
+        read_transcripts(path, columns=["conv_id", "turn_idx"])
+    )
+    bases = np.array([offsets[c] for c in t["conv_id"].to_pylist()], np.int64)
+    doc_ids = bases + t["turn_idx"].to_numpy().astype(np.int64)
+    by_doc = dict(zip(doc_ids.tolist(), t["text"].to_pylist()))
+    headline = [by_doc[d][:60] for d in top["doc_id"].to_pylist()]
+    return top.append_column("headline", pa.array(headline, type=pa.string()))
+
+
 def q_topk_w1_simple(sf_dir: str) -> pa.Table:
     return topk_table(sf_dir, "simple", "w1")
 
@@ -314,7 +334,7 @@ stats AS (
 )"""
 
 
-def _sql_topk(fx: str, scheme: str) -> str:
+def _sql_topk(fx: str, scheme: str, snippet: bool = False) -> str:
     if scheme == "w2":
         w_expr = (
             "0.4 + 0.6 * (tf.tf / (tf.tf + 0.5 + 1.5 * (dl.doc_len / s.avgdl)))"
@@ -372,8 +392,12 @@ ranked AS (
                             ORDER BY score DESC, doc_id) AS rnk
   FROM scored
 )
-SELECT query_id, doc_id, round(score, 6) AS score
-FROM ranked WHERE rnk <= 10
+{"SELECT r.query_id, r.doc_id, round(r.score, 6) AS score, "
+ "substring(docs2.text, 1, 60) AS headline "
+ "FROM ranked r JOIN (SELECT doc_id, text FROM docs) docs2 USING (doc_id) "
+ "WHERE rnk <= 10"
+ if snippet else
+ "SELECT query_id, doc_id, round(score, 6) AS score FROM ranked WHERE rnk <= 10"}
 """
 
 
@@ -400,6 +424,7 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
 """,
         "topk_w2_simple": _sql_topk(fx, "w2"),
         "topk_w1_simple": _sql_topk(fx, "w1"),
+        "topk_w2_snippet": _sql_topk(fx, "w2", snippet=True),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
@@ -484,6 +509,7 @@ def build_queries() -> dict:
         "collection_stats_simple": q_collection_stats_simple,
         "topk_w2_simple": q_topk_w2_simple,
         "topk_w1_simple": q_topk_w1_simple,
+        "topk_w2_snippet": q_topk_w2_snippet,
         "topk_w2_full": q_topk_w2_full,
         "topk_w1_full": q_topk_w1_full,
         "index_stats_full": q_index_stats_full,

@@ -226,6 +226,23 @@ class ShardState:
         out.sort(key=lambda t: (-t[1], t[0]))
         return out
 
+    def term_weights(
+        self, terms: list[str], doc_ids: list[int], scheme: str
+    ) -> np.ndarray:
+        """(len(doc_ids), len(terms)) matrix of normalized doc-side weights
+        wn(t, d) — the per-term score breakdown surface (the reference's
+        sparse-vector debug output, ``search/SparseVector.java:33-47``)."""
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        out = np.zeros((docs.size, len(terms)), dtype=np.float64)
+        for qi, term in enumerate(terms):
+            d = self.terms.get(term)
+            if d is None:
+                continue
+            pos = np.searchsorted(d.ids, docs)
+            ok = (pos < d.ids.size) & (d.ids[np.minimum(pos, d.ids.size - 1)] == docs)
+            out[ok, qi] = d.wn[scheme][pos[ok]]
+        return out
+
     def score(self, terms, weights, scheme, k, algorithm) -> list[tuple[int, float]]:
         fn = {
             "exhaustive": self.score_exhaustive,
@@ -253,6 +270,9 @@ class IndexShardActor:
         return [
             self.state.score(t, w, scheme, k, algorithm) for t, w in queries
         ]
+
+    def term_weights(self, terms, doc_ids, scheme):
+        return self.state.term_weights(terms, doc_ids, scheme)
 
     def ready(self) -> bool:
         return True
@@ -344,6 +364,36 @@ class QueryEngine:
                 ]
             )
         return self._finish(partials, k, q_norm)
+
+    def explain(
+        self, text: str, scheme: str | None = None, k: int | None = None
+    ) -> list[dict]:
+        """Top-k results with the per-query-term score breakdown: each result
+        row carries ``terms: {term: contribution}`` where contribution =
+        wn(t,d) * w(t,q) / ||q|| and the contributions sum to the score
+        (reference's debug sparse-vector dump, ``search/Driver.java:94-104``,
+        off the hot path)."""
+        scheme = scheme or self.config.scheme
+        k = k or self.config.top_k
+        results = self.query(text, scheme, k)
+        if not results:
+            return results
+        terms, weights, q_norm = self.parse(text)
+        docs = [r["doc_id"] for r in results]
+        if self.local:
+            mats = [s.term_weights(terms, docs, scheme) for s in self.states]
+        else:
+            mats = ray.get(
+                [a.term_weights.remote(terms, docs, scheme) for a in self.actors]
+            )
+        wn = np.sum(mats, axis=0)  # each doc is owned by exactly one shard
+        for r, row in zip(results, wn):
+            r["terms"] = {
+                t: float(row[qi] * weights[qi] / q_norm)
+                for qi, t in enumerate(terms)
+                if row[qi] != 0.0 and weights[qi] != 0.0
+            }
+        return results
 
     def query_many(
         self,

@@ -19,21 +19,6 @@ TEST_SF = "sf0.0002"  # ~400 turns — fast builds
 OUT = Path("/tmp/graft_test_index")
 
 
-@pytest.fixture(scope="session")
-def corpus(ray_session):
-    from ir_search_engine_ray.datagen import fixture_dir
-
-    return fixture_dir(TEST_SF)
-
-
-@pytest.fixture(scope="session")
-def built(ray_session, corpus):
-    from ir_search_engine_ray.pipelines.index_build import build_index
-
-    shutil.rmtree(OUT, ignore_errors=True)
-    meta = build_index(str(corpus / "transcripts"), OUT, concurrency=2)
-    return meta
-
 
 @pytest.fixture(scope="session")
 def oracle_idx(corpus):
@@ -187,6 +172,19 @@ class TestRankIdentity:
         assert eng.query("") == []
         assert eng.query("the of and by that") == []
         assert eng.query("zzyzxzzz qqqqqx") == []
+
+    def test_explain_contributions_sum_to_score(self, built):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built)
+        for scheme in ("w2", "w1"):
+            rows = eng.explain("flow mach press therm heat", scheme, 5)
+            assert rows
+            for r in rows:
+                assert sum(r["terms"].values()) == pytest.approx(
+                    r["score"], rel=1e-9
+                )
+                assert all(v > 0 for v in r["terms"].values())
 
     def test_result_rows_carry_conv_keys(self, built, oracle_idx):
         from ir_search_engine_ray.pipelines.query import QueryEngine
