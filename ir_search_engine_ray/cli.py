@@ -1,0 +1,159 @@
+"""Command-line entry points (`ray job submit`-able).
+
+    python -m ir_search_engine_ray build  TRANSCRIPTS OUT [--mode ...] ...
+    python -m ir_search_engine_ray query  INDEX_DIR "query text" [...]
+    python -m ir_search_engine_ray batch-query INDEX_DIR QUERIES.parquet [...]
+    python -m ir_search_engine_ray export INDEX_DIR OUT --format gamma
+
+On a cluster: ``ray job submit --working-dir . -- python -m
+ir_search_engine_ray build s3://.../transcripts /mnt/index``.  The CLI owns
+the Ray session (guarded init so it also composes with an already-running
+driver); the library itself never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def _cmd_build(args) -> None:
+    from .config import IndexConfig
+    from .pipelines.index_build import build_index
+
+    _ensure_ray()
+    meta = build_index(
+        args.transcripts,
+        args.out,
+        IndexConfig(
+            mode=args.mode,
+            salt_buckets=args.salt_buckets,
+            tokenize_batch_size=args.batch_size,
+        ),
+    )
+    print(
+        json.dumps(
+            {
+                "out_dir": str(meta.out_dir),
+                "N": meta.N,
+                "n_terms": meta.n_terms,
+                "n_postings": meta.n_postings,
+                "avg_doc_len": meta.avg_doc_len,
+                "salt_buckets": meta.salt_buckets,
+            }
+        )
+    )
+
+
+def _engine(args):
+    from .config import QueryConfig
+    from .pipelines.index_build import IndexMeta
+    from .pipelines.query import QueryEngine
+
+    meta = IndexMeta.load(args.index_dir)
+    cfg = QueryConfig(
+        scheme=args.scheme,
+        top_k=args.k,
+        num_actors=args.actors,
+        algorithm=args.algorithm,
+    )
+    return QueryEngine(meta, cfg)
+
+
+def _cmd_query(args) -> None:
+    _ensure_ray()
+    eng = _engine(args)
+    rows = (
+        eng.explain(args.text, args.scheme, args.k)
+        if args.explain
+        else eng.query(args.text, args.scheme, args.k, args.algorithm)
+    )
+    for r in rows:
+        print(json.dumps(r))
+
+
+def _cmd_batch_query(args) -> None:
+    import pyarrow.parquet as pq
+
+    _ensure_ray()
+    eng = _engine(args)
+    t = pq.read_table(args.queries)
+    texts = t["text"].to_pylist()
+    qids = (
+        t["query_id"].to_pylist() if "query_id" in t.schema.names
+        else list(range(len(texts)))
+    )
+    for qid, results in zip(qids, eng.query_many(texts)):
+        for r in results:
+            print(json.dumps({"query_id": qid, **r}))
+
+
+def _cmd_export(args) -> None:
+    from .pipelines.index_build import IndexMeta
+    from .sources.legacy_export import export_legacy_index
+
+    meta = IndexMeta.load(args.index_dir)
+    print(json.dumps(export_legacy_index(meta, args.out, args.format)))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="ir_search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the index")
+    b.add_argument("transcripts")
+    b.add_argument("out")
+    b.add_argument("--mode", default="full",
+                   choices=("full", "full_nostem", "simple"))
+    b.add_argument("--salt-buckets", type=int, default=32)
+    b.add_argument("--batch-size", type=int, default=32768)
+    b.set_defaults(fn=_cmd_build)
+
+    def query_args(q):
+        q.add_argument("index_dir")
+        q.add_argument("--scheme", default="w2", choices=("w1", "w2"))
+        q.add_argument("--k", type=int, default=10)
+        q.add_argument("--actors", type=int, default=4)
+        q.add_argument(
+            "--algorithm",
+            default="block_max_wand",
+            choices=("exhaustive", "maxscore", "block_max_wand"),
+        )
+
+    q = sub.add_parser("query", help="one query -> top-k JSON lines")
+    query_args(q)
+    q.add_argument("text")
+    q.add_argument("--explain", action="store_true",
+                   help="include per-term score contributions")
+    q.set_defaults(fn=_cmd_query)
+
+    bq = sub.add_parser("batch-query", help="parquet query set -> JSON lines")
+    query_args(bq)
+    bq.add_argument("queries", help="parquet with text [, query_id] columns")
+    bq.set_defaults(fn=_cmd_batch_query)
+
+    e = sub.add_parser("export", help="export legacy reference index formats")
+    e.add_argument("index_dir")
+    e.add_argument("out")
+    e.add_argument("--format", default="gamma",
+                   choices=("uncompressed", "gamma", "delta_front"))
+    e.set_defaults(fn=_cmd_export)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -182,6 +182,54 @@ def verify_jaccard(
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def embedding_cosine_pairs(
+    emb_ds: ray.data.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs with
+    cosine similarity >= threshold.
+
+    Distributed as batch-x-broadcast matmuls: the normalized corpus matrix is
+    ``ray.put`` once (read per task from the local object store) and every
+    batch computes its block of the similarity matrix — no shuffle, exact
+    results, embarrassingly parallel over batches.  The broadcast side must
+    fit worker memory; at corpus sizes where it does not, candidate pairs
+    come from IVF buckets (extras/ann.py centroids: pairs within a probe
+    set) or hyperplane-LSH banding at a recall cost — the verify step here
+    is unchanged.
+    """
+    t = pa.concat_tables(
+        [b for b in emb_ds.select_columns([id_col, "embedding"]).iter_batches(
+            batch_format="pyarrow"
+        )]
+    )
+    ids = t[id_col].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b_ids = batch[id_col].to_numpy()
+        b_mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-30)
+        cos = b_mat @ all_mat.T
+        keep = (cos >= threshold) & (b_ids[:, None] < all_ids[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(b_ids[r], type=pa.int64()),
+                "vec_b": pa.array(all_ids[c], type=pa.int64()),
+                "cosine": pa.array(np.round(cos[r, c], round_to), type=pa.float64()),
+            }
+        )
+
+    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def simhash_signatures(batch: pa.Table, *, bits: int = 64) -> pa.Table:
     """Classic SimHash over token unigrams weighted by tf."""
     out = []

@@ -295,6 +295,11 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann.cosine_topk(emb, q_vec, k=10, exclude=0)
 
 
+def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4)
+
+
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     pairs = dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
@@ -451,6 +456,13 @@ SELECT d.doc_id,
 FROM documents d JOIN toks t USING (doc_id)
 """,
         "lang_id": _sql_lang_id(),
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -519,6 +531,7 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
     }

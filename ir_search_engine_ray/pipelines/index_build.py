@@ -59,7 +59,7 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..stages.docids import assign_doc_ids, conversation_offsets
+from ..stages.docids import assign_doc_ids, conversation_offsets, offsets_arrays
 from ..stages.merge import merge_salt_table, range_size_for
 from ..stages.tokenize_stage import (
     TRIPLES_SCHEMA,
@@ -241,7 +241,7 @@ def build_index(
         # and the fused tokenize
         n_batches = max(1, -(-N // config.tokenize_batch_size))
         ds = read_transcripts(paths, override_num_blocks=n_batches)
-        offsets_ref = ray.put(offsets)
+        offsets_ref = ray.put(offsets_arrays(offsets))
         manifest = (
             ds.map_batches(
                 assign_doc_ids,

@@ -83,21 +83,41 @@ def conversation_offsets(ds: ray.data.Dataset) -> tuple[dict[str, int], int]:
     return offsets, base
 
 
+def offsets_arrays(offsets: dict[str, int]) -> tuple[pa.Array, np.ndarray]:
+    """Broadcast form of the offsets table: (sorted conv_id Arrow array,
+    parallel base array).  Arrow/numpy deserialize as buffer copies —
+    unpickling a large Python dict per task was a super-linear cost once
+    conversation counts reached the hundreds of thousands."""
+    convs = sorted(offsets)
+    return (
+        pa.array(convs, type=pa.string()),
+        np.array([offsets[c] for c in convs], dtype=np.int64),
+    )
+
+
 def assign_doc_ids(batch: pa.Table, *, offsets_ref) -> pa.Table:
     """``map_batches`` fn: adds ``doc_id = base[conv_id] + turn_idx``.
 
-    ``offsets_ref`` is a ``ray.put`` handle — the broadcast pattern: shipped
-    to the object store once, fetched from the local cache per task (not
-    re-serialized per batch).  The batch work is a vectorized
-    dictionary-encode + gather — no per-row Python.
+    ``offsets_ref`` is a ``ray.put`` handle holding the
+    :func:`offsets_arrays` pair (a plain dict is also accepted for tests) —
+    the broadcast pattern: shipped to the object store once, fetched from
+    the local cache per task (not re-serialized per batch).  The batch work
+    is dictionary-encode + one hashed ``index_in`` over the batch's DISTINCT
+    conv_ids + a gather — no per-row Python.
     """
-    offsets = (
+    offs = (
         ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) else offsets_ref
     )
+    if isinstance(offs, dict):
+        offs = offsets_arrays(offs)
+    conv_arr, bases = offs
     enc = pc.dictionary_encode(batch["conv_id"]).combine_chunks()
-    uniq = enc.dictionary.to_pylist()
-    bases = np.array([offsets[c] for c in uniq], dtype=np.int64)
-    doc_id = bases[enc.indices.to_numpy()] + batch["turn_idx"].to_numpy().astype(
+    pos = pc.index_in(enc.dictionary, value_set=conv_arr)
+    if pos.null_count:
+        missing = enc.dictionary.filter(pc.is_null(pos)).to_pylist()
+        raise KeyError(f"conv_ids not in offsets table: {missing[:5]}")
+    uniq_bases = bases[pos.to_numpy(zero_copy_only=False)]
+    doc_id = uniq_bases[enc.indices.to_numpy()] + batch["turn_idx"].to_numpy().astype(
         np.int64
     )
     return batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))

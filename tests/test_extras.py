@@ -136,6 +136,40 @@ class TestANN:
         assert len(exact & ivf) >= 5  # approximate, but not garbage
 
 
+class TestEmbeddingNearDup:
+    def test_matches_numpy_brute_force(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        rng = np.random.default_rng(9)
+        base = rng.normal(size=(30, 8))
+        # plant near-dups: rows 30..34 are noisy copies of rows 0..4
+        noisy = base[:5] + rng.normal(scale=0.05, size=(5, 8))
+        mat = np.vstack([base, noisy])
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(35, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in mat], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = dedup.embedding_cosine_pairs(ds, threshold=0.95).to_pandas()
+        got_pairs = {tuple(p) for p in got[["vec_a", "vec_b"]].itertuples(index=False)}
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = mn @ mn.T
+        want = {
+            (a, b)
+            for a in range(35)
+            for b in range(a + 1, 35)
+            if cos[a, b] >= 0.95
+        }
+        assert got_pairs == want
+        assert {(i, i + 30) for i in range(5)} <= want  # planted dups found
+
+
 class TestTextStats:
     def test_token_count_and_lang(self, ray_session):
         from ir_search_engine_ray.extras import textstats
