@@ -152,7 +152,9 @@ def bench_extras(sf_dir: str) -> dict:
     from ir_search_engine_ray.extras import ann, dedup
 
     out: dict[str, float] = {}
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=16
+    )
 
     t0 = time.perf_counter()
     dedup.exact_dedup(docs).count()
@@ -163,7 +165,9 @@ def bench_extras(sf_dir: str) -> dict:
     dedup.verify_jaccard(pairs, docs, threshold=0.5).count()
     out["dedup_minhash"] = time.perf_counter() - t0
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", override_num_blocks=8
+    )
     t0 = time.perf_counter()
     q_vec = np.array(emb.take(1)[0]["embedding"], dtype=np.float64)
     ann.cosine_topk(emb, q_vec, k=10, exclude=0)

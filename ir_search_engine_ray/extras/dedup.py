@@ -27,7 +27,10 @@ from ray.data.aggregate import Count, Min
 
 from .textstats import _tokens
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: with a,b,h < 2^31 every a*h+b fits uint64, so the
+# minhash permutations are exact pure-numpy uint64 arithmetic — an earlier
+# 2^61-1 modulus forced object-dtype bigint multiplies (~50x slower)
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -59,8 +62,8 @@ def hash_shingle(s: str) -> int:
 
 def _perm_params(num_perm: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -72,11 +75,13 @@ def minhash_signatures(
     a, b = _perm_params(num_perm)
     sigs = np.full((batch.num_rows, num_perm), _MERSENNE, dtype=np.int64)
     for r, text in enumerate(batch["text"].to_pylist()):
-        sh = np.fromiter(_shingles(text, shingle_k), dtype=np.int64)
+        sh = np.fromiter(
+            (s % _MERSENNE for s in _shingles(text, shingle_k)), dtype=np.uint64
+        )
         if sh.size == 0:
             continue
-        # (num_perm, n_shingles) -> min along shingles; object-safe modmul
-        vals = (np.multiply.outer(a, sh, dtype=np.object_) + b[:, None]) % _MERSENNE
+        # (num_perm, n_shingles) -> min along shingles; exact in uint64
+        vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
         sigs[r] = vals.min(axis=1).astype(np.int64)
     off = np.arange(0, (batch.num_rows + 1) * num_perm, num_perm, dtype=np.int32)
     return pa.table(
@@ -87,8 +92,12 @@ def minhash_signatures(
     )
 
 
+N_SHUFFLE_PARTS = 64  # coarse hash partitions for the bucket shuffle
+
+
 def band_buckets(batch: pa.Table, *, bands: int) -> pa.Table:
-    """Explode each signature into (band, bucket_hash, doc_id) rows."""
+    """Explode each signature into (band, bucket_hash, doc_id) rows, plus
+    the coarse shuffle-partition key ``part = hash(band,bucket) % P``."""
     import zlib
 
     out_band, out_bucket, out_doc = [], [], []
@@ -100,24 +109,60 @@ def band_buckets(batch: pa.Table, *, bands: int) -> pa.Table:
             out_band.append(bi)
             out_bucket.append(key)
             out_doc.append(doc_id)
+    band = np.array(out_band, dtype=np.int32)
+    bucket = np.array(out_bucket, dtype=np.int64)
     return pa.table(
         {
-            "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_bucket, type=pa.int64()),
+            "band": pa.array(band),
+            "bucket": pa.array(bucket),
             "doc_id": pa.array(out_doc, type=pa.int64()),
+            "part": pa.array(
+                ((bucket * 1_000_003 + band) % N_SHUFFLE_PARTS).astype(np.int32)
+            ),
         }
     )
 
 
-def _pairs_from_bucket(group: pa.Table) -> pa.Table:
-    docs = sorted(group["doc_id"].to_pylist())
-    a, b = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            a.append(docs[i])
-            b.append(docs[j])
+def _pairs_from_partition(group: pa.Table) -> pa.Table:
+    """One shuffle partition (MANY buckets) -> candidate pairs, vectorized.
+
+    Grouping on a coarse partition key instead of per-bucket keeps the
+    shuffle semantics but avoids a Python callback per (band, bucket) group
+    — the per-group overhead, not the pair math, dominated the old
+    ``groupby(band, bucket).map_groups`` formulation."""
+    band = group["band"].to_numpy()
+    bucket = group["bucket"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    order = np.lexsort((doc, bucket, band))
+    band, bucket, doc = band[order], bucket[order], doc[order]
+    change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bucket) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [doc.size]))
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        a_out.append(doc[s + iu])
+        b_out.append(doc[s + ju])
+    a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
     return pa.table(
         {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
+def _dedup_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """A pair found in several buckets collapses to one row (native hash
+    aggregate, not a per-group Python callback)."""
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+        )
     )
 
 
@@ -137,13 +182,10 @@ def minhash_lsh_pairs(
     buckets = sigs.map_batches(
         band_buckets, fn_kwargs={"bands": bands}, batch_format="pyarrow"
     )
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
-        _pairs_from_bucket, batch_format="pyarrow"
+    pairs = buckets.groupby("part").map_groups(
+        _pairs_from_partition, batch_format="pyarrow"
     )
-    # a pair found in several bands collapses to one row
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _dedup_pairs(pairs)
 
 
 def verify_jaccard(
@@ -263,12 +305,19 @@ def _token_hash64(tok: str) -> np.uint64:
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    b = np.unpackbits(x.view(np.uint8))
+    return b.reshape(-1, 64).sum(axis=1).astype(np.int32)
+
+
 def simhash_candidate_pairs(
     docs_ds: ray.data.Dataset, *, max_hamming: int = 3
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: bucket on each of the four 16-bit bands
     (any pair within Hamming distance 3 of a 64-bit hash agrees exactly on
-    at least one band), then verify the Hamming distance."""
+    at least one band), then verify the Hamming distance.  Same coarse-
+    partition shuffle as MinHash (see ``_pairs_from_partition``)."""
     sigs = docs_ds.map_batches(simhash_signatures, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -281,41 +330,72 @@ def simhash_candidate_pairs(
             bucket_out.append(bucket.astype(np.int64))
             doc_out.append(doc)
             sig_out.append(sh.view(np.int64))
+        band = np.concatenate(bands_out)
+        bucket = np.concatenate(bucket_out)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands_out)),
-                "bucket": pa.array(np.concatenate(bucket_out)),
+                "band": pa.array(band),
+                "bucket": pa.array(bucket),
                 "doc_id": pa.array(np.concatenate(doc_out)),
                 "simhash": pa.array(np.concatenate(sig_out)),
+                "part": pa.array(
+                    ((bucket * 1_000_003 + band) % N_SHUFFLE_PARTS).astype(
+                        np.int32
+                    )
+                ),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = group["doc_id"].to_pylist()
-        sigs_ = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.argsort(docs)
-        a, b, d = [], [], []
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                ham = int(bin(int(sigs_[i] ^ sigs_[j])).count("1"))
-                if ham <= max_hamming:
-                    a.append(docs[i])
-                    b.append(docs[j])
-                    d.append(ham)
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy()
+        bucket = group["bucket"].to_numpy()
+        doc = group["doc_id"].to_numpy()
+        sig = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((doc, bucket, band))
+        band, bucket, doc, sig = band[order], bucket[order], doc[order], sig[order]
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bucket) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [doc.size]))
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, 1)
+            ham = _popcount64(sig[s + iu] ^ sig[s + ju])
+            keep = ham <= max_hamming
+            a_out.append(doc[s + iu[keep]])
+            b_out.append(doc[s + ju[keep]])
+            h_out.append(ham[keep])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        h = np.concatenate(h_out) if h_out else np.empty(0, np.int32)
         return pa.table(
             {
                 "doc_a": pa.array(a, type=pa.int64()),
                 "doc_b": pa.array(b, type=pa.int64()),
-                "hamming": pa.array(d, type=pa.int32()),
+                "hamming": pa.array(h, type=pa.int32()),
             }
         )
 
     pairs = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    from ray.data.aggregate import Min
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_a": b["doc_a"],
+                    "doc_b": b["doc_b"],
+                    "hamming": b["min(hamming)"].cast(pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )

@@ -223,7 +223,11 @@ def q_index_stats_full(sf_dir: str) -> pa.Table:
 
 
 def _docs_ds(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # single-file inputs read as ONE task without the override, serializing
+    # the per-doc python work in every downstream map
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", override_num_blocks=16
+    )
 
 
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
