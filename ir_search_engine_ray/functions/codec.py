@@ -7,7 +7,7 @@ rebuild must not reproduce (SURVEY.md F3): the Python writer packs gamma codes
 into uint16 (overflows for gaps needing >16 bits,
 ``pyindex/compressed_index.py:32``) and Java's ``gapToBytes`` returns an
 all-zero array (``util/Utils.java:87-98``).  This codec is round-trip-correct
-for arbitrary uint64 values; property tests in ``tests/test_codec.py`` cover
+for arbitrary uint64 values; property tests in ``tests/test_textproc.py`` cover
 gaps beyond 2**16 and 2**32.
 
 Encoding of a posting list (doc_ids strictly increasing, tfs parallel):

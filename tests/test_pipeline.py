@@ -254,3 +254,64 @@ class TestResume:
         build_index(str(corpus / "transcripts"), out, cfg, concurrency=2)
         assert survivor.stat().st_mtime_ns == survivor_mtime
         assert _engine_postings(out) == postings_before
+
+
+class TestKillResume:
+    def test_sigkill_mid_build_then_resume(self, ray_session, built, corpus, tmp_path):
+        """Hard-kill a build subprocess mid-tokenize; resuming with the same
+        config must skip the completed blocks and converge to the exact same
+        index as an uninterrupted build (north rule: resumable from
+        checkpoint with per-partition lineage)."""
+        import json as _json
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        out = tmp_path / "killed_idx"
+        script = (
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from ir_search_engine_ray.config import IndexConfig\n"
+            "from ir_search_engine_ray.pipelines.index_build import build_index\n"
+            f"build_index({str(corpus / 'transcripts')!r}, {str(out)!r}, "
+            "IndexConfig(tokenize_batch_size=64))\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        blocks = out / "blocks"
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if len(list(blocks.glob("block-*.arrow"))) >= 2:
+                    break
+                if proc.poll() is not None:
+                    break  # finished before we could kill — still a valid run
+                time.sleep(0.05)
+            else:
+                pytest.fail("subprocess build never produced blocks")
+        finally:
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+
+        n_partial = len(list(blocks.glob("block-*.arrow")))
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            out,
+            IndexConfig(tokenize_batch_size=64),
+            concurrency=2,
+        )
+        assert _engine_postings(out) == _engine_postings(built.out_dir)
+        assert meta.N == built.N
+        man = _json.loads((blocks / "manifest.json").read_text())["files"]
+        skipped_blocks = [m for m in man if m["kind"] == "block" and m["skipped"]]
+        if n_partial:  # the kill landed mid-stage: completed runs were reused
+            assert skipped_blocks

@@ -152,3 +152,66 @@ class TestCodec:
 
         with pytest.raises(ValueError):
             encode_postings(np.array([3, 2]), np.array([1, 1]))
+
+
+class TestColumnDecoder:
+    """Whole-column varint decoders (the merge/query hot path) must agree
+    with the per-row reference decoder."""
+
+    def test_decode_postings_column_matches_per_row(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ir_search_engine_ray.functions.codec import (
+            decode_postings,
+            decode_postings_column,
+            encode_postings,
+        )
+
+        rng = np.random.default_rng(17)
+        rows = []
+        for _ in range(40):
+            n = int(rng.integers(1, 60))
+            ids = np.cumsum(rng.integers(1, 2**34, size=n))
+            tfs = rng.integers(1, 1000, size=n).astype(np.int32)
+            rows.append(encode_postings(ids, tfs))
+        id_col = pa.array([r[0] for r in rows], type=pa.binary())
+        tf_col = pa.array([r[1] for r in rows], type=pa.binary())
+        flat_ids, flat_tfs, lens = decode_postings_column(id_col, tf_col)
+        off = 0
+        for (idb, tfb), ln in zip(rows, lens):
+            ids, tfs = decode_postings(idb, tfb)
+            assert np.array_equal(flat_ids[off : off + ln], ids)
+            assert np.array_equal(flat_tfs[off : off + ln], tfs)
+            off += ln
+        assert off == flat_ids.size
+
+    def test_truncated_stream_rejected(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from ir_search_engine_ray.functions.codec import varint_decode_column
+
+        bad = pa.array([b"\x80"], type=pa.binary())  # continuation, no end
+        with _pytest.raises(ValueError):
+            varint_decode_column(bad)
+
+    def test_empty_and_sliced_column(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ir_search_engine_ray.functions.codec import (
+            varint_encode,
+            varint_decode_column,
+        )
+
+        col = pa.array(
+            [varint_encode(np.array([i, i + 1])) for i in range(10)],
+            type=pa.binary(),
+        )
+        # a sliced (non-zero offset) column must decode identically
+        vals, lens = varint_decode_column(col.slice(4, 3))
+        assert lens.tolist() == [2, 2, 2]
+        assert vals.tolist() == [4, 5, 5, 6, 6, 7]
+        vals, lens = varint_decode_column(col.slice(0, 0))
+        assert vals.size == 0 and lens.size == 0
