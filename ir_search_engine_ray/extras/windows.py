@@ -1,0 +1,109 @@
+"""Temporal operators over the events table: tumbling windows + sessions.
+
+The reference engine has no streaming/windowing surface (SURVEY.md §2.9);
+these are the windowed-aggregate and session-window operators a large-scale
+training-data pipeline needs, expressed Ray-Data-first:
+
+- ``tumbling_counts``: fixed windows are a pure row function (truncate the
+  timestamp), so the aggregate is per-batch combiners + one vocabulary-sized
+  ``groupby`` — never an all-to-all of raw events;
+- ``sessionize``: session windows (gap-based) need per-key event ordering;
+  ``groupby(user_id).map_groups`` hash-partitions by user and the per-user
+  gap detection is vectorized numpy.  Partitioning assumption: one user's
+  events fit one task (true at any realistic skew; a pathological mega-user
+  would need per-key time-range pre-splitting with boundary session merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+HOUR_US = 3_600_000_000
+
+
+def _tumbling_partial(batch: pa.Table, *, window_us: int) -> pa.Table:
+    ts = batch["ts"].cast(pa.int64()).to_numpy()
+    win = (ts // window_us) * window_us
+    t = pa.table(
+        {
+            "window_start": pa.array(win, type=pa.int64()),
+            "event_type": batch["event_type"],
+            "n_events": pa.array(np.ones(len(win), dtype=np.int64)),
+            "sum_value": batch["value"],
+        }
+    )
+    g = t.group_by(["window_start", "event_type"]).aggregate(
+        [("n_events", "sum"), ("sum_value", "sum")]
+    )
+    return pa.table(
+        {
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "n_events": g["n_events_sum"],
+            "sum_value": g["sum_value_sum"],
+        }
+    )
+
+
+def tumbling_counts(
+    events_ds: ray.data.Dataset, *, window_us: int = HOUR_US
+) -> ray.data.Dataset:
+    """Per (tumbling window, event_type): event count + value sum."""
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(
+        _tumbling_partial, fn_kwargs={"window_us": window_us}, batch_format="pyarrow"
+    )
+    g = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events"), Sum("sum_value")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": b["window_start"].cast(pa.timestamp("us")),
+                "event_type": b["event_type"],
+                "n_events": b["sum(n_events)"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(b["sum(sum_value)"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def _sessions_for_user(group: pa.Table, *, gap_us: int) -> pa.Table:
+    ts = np.sort(group["ts"].cast(pa.int64()).to_numpy())
+    new_session = np.ones(ts.size, dtype=np.int64)
+    new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sess_idx = np.cumsum(new_session) - 1
+    n_sessions = int(sess_idx[-1]) + 1 if ts.size else 0
+    starts = np.flatnonzero(new_session)
+    ends = np.concatenate((starts[1:], [ts.size])) - 1
+    uid = group["user_id"][0].as_py()
+    return pa.table(
+        {
+            "user_id": pa.array(np.full(n_sessions, uid), type=pa.int64()),
+            "session_idx": pa.array(np.arange(n_sessions), type=pa.int64()),
+            "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+            "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "session_end": pa.array(ts[ends], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def sessionize(
+    events_ds: ray.data.Dataset, *, gap_us: int = 30 * 60 * 1_000_000
+) -> ray.data.Dataset:
+    """Gap-based session windows per user (session ends after ``gap_us`` of
+    inactivity); emits one row per (user, session)."""
+    return events_ds.select_columns(["user_id", "ts"]).groupby("user_id").map_groups(
+        _sessions_for_user, fn_kwargs={"gap_us": gap_us}, batch_format="pyarrow"
+    )

@@ -35,7 +35,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import IndexConfig, QueryConfig
 from ..datagen import fixture_dir
-from ..extras import ann, dedup, textstats
+from ..extras import ann, dedup, textstats, windows
 from ..sources.transcripts import read_transcripts
 from ..stages.docids import assign_doc_ids, conversation_offsets, docmap_table
 from ..textproc import TokenPipeline
@@ -299,6 +299,16 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann.cosine_topk(emb, q_vec, k=10, exclude=0)
 
 
+def q_event_windows(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
+    return windows.tumbling_counts(ev)
+
+
+def q_sessions(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
+    return windows.sessionize(ev)
+
+
 def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
@@ -460,6 +470,34 @@ SELECT d.doc_id,
 FROM documents d JOIN toks t USING (doc_id)
 """,
         "lang_id": _sql_lang_id(),
+        "event_windows": """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s GROUP BY 1, 2
+""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -536,6 +574,8 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "event_windows": q_event_windows,
+        "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
     }

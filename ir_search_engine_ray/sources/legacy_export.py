@@ -151,7 +151,9 @@ def export_legacy_index(meta, out_dir: str | Path, fmt: str, block_k: int = 8) -
             "total_bytes": sum(sizes.values())}
 
 
-def read_legacy_postings(out_dir: str | Path, fmt: str) -> dict[str, list[tuple[int, int]]]:
+def read_legacy_postings(
+    out_dir: str | Path, fmt: str, block_k: int = 8
+) -> dict[str, list[tuple[int, int]]]:
     """Round-trip reader (tests/inspection): {term: [(doc_id, tf), ...]}."""
     from ..functions.legacy_codec import delta_decode, front_decode_block, gamma_decode
 
@@ -192,7 +194,7 @@ def read_legacy_postings(out_dir: str | Path, fmt: str) -> dict[str, list[tuple[
         while off < len(ptr_buf):
             df, posting_ptr = struct.unpack_from("<QQ", ptr_buf, off)
             off += 16
-            if i % 8 == 0:
+            if i % block_k == 0:
                 off += 8  # skip the interleaved term_ptr
             records.append((df, posting_ptr))
             i += 1

@@ -143,6 +143,8 @@ class TokenizeWriteBlocks(TokenizeCount):
         self.range_size = max(1, range_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return MANIFEST_SCHEMA.empty_table()
         doc_ids = batch["doc_id"].to_numpy()
         lo, hi, n = int(doc_ids.min()), int(doc_ids.max()), len(doc_ids)
         crc = zlib.crc32(np.ascontiguousarray(doc_ids).tobytes())

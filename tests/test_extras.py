@@ -224,3 +224,71 @@ class TestMultimodal:
             pytest.skip("decoder present")
         with pytest.raises(NotImplementedError):
             multimodal.DecodeMedia(real=True)
+
+
+class TestWindows:
+    def test_sessionize_gap_edges(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        gap = 60 * us
+        # user 1: events at 0s, 30s, 91s (gap 61s > 60s -> two sessions);
+        # user 2: single event
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array(
+                    [0, 30 * us, 91 * us, 5 * us], type=pa.timestamp("us")
+                ),
+            }
+        )
+        out = (
+            windows.sessionize(ray.data.from_arrow(t), gap_us=gap)
+            .to_pandas()
+            .sort_values(["user_id", "session_idx"], ignore_index=True)
+        )
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert out["session_idx"].tolist() == [0, 1, 0]
+
+    def test_sessionize_exact_gap_is_same_session(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([0, 60 * us], type=pa.timestamp("us")),
+            }
+        )
+        out = windows.sessionize(
+            ray.data.from_arrow(t), gap_us=60 * us
+        ).to_pandas()
+        assert len(out) == 1 and out["n_events"][0] == 2
+
+    def test_tumbling_counts(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [10 * us, 3599 * us, 3600 * us, 7300 * us],
+                    type=pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["a", "a", "a", "b"]),
+                "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+            }
+        )
+        out = (
+            windows.tumbling_counts(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values(["window_start", "event_type"], ignore_index=True)
+        )
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
