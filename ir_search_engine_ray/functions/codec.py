@@ -126,8 +126,6 @@ def varint_decode_column(col) -> tuple[np.ndarray, np.ndarray]:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(n_rows, dtype=np.int64)
     is_last = (raw & 0x80) == 0
-    value_idx = np.zeros(raw.size, dtype=np.int64)
-    value_idx[1:] = np.cumsum(is_last[:-1])
     n_values = int(is_last.sum())
     # every row boundary must fall on a value boundary
     cum_last = np.cumsum(is_last)
@@ -137,10 +135,21 @@ def varint_decode_column(col) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError("truncated varint stream")
     starts = np.zeros(n_values, dtype=np.int64)
     starts[1:] = np.nonzero(is_last)[0][:-1] + 1
-    pos_in_value = np.arange(raw.size, dtype=np.int64) - starts[value_idx]
+    nbytes = np.empty(n_values, dtype=np.int64)
+    nbytes[:-1] = starts[1:] - starts[:-1]
+    nbytes[-1] = raw.size - starts[-1]
+    # gather byte k of every value that has one (<= 10 iterations) — a
+    # strided gather per 7-bit group beats a scatter-add over every byte
     out = np.zeros(n_values, dtype=np.uint64)
-    payload = (raw & 0x7F).astype(np.uint64) << (pos_in_value * 7).astype(np.uint64)
-    np.add.at(out, value_idx, payload)
+    payload = (raw & 0x7F).astype(np.uint64)
+    sel = np.arange(n_values)
+    pos = starts.copy()
+    k = 0
+    while sel.size:
+        out[sel] |= payload[pos[sel]] << np.uint64(7 * k)
+        k += 1
+        pos += 1
+        sel = sel[nbytes[sel] > k]
     return out, counts
 
 

@@ -50,8 +50,13 @@ def w1_weight(tf, max_tf, df, N: int):
     tf = np.asarray(tf, dtype=np.float64)
     max_tf = np.asarray(max_tf, dtype=np.float64)
     dfa = np.asarray(df, dtype=np.int64)
-    out = np.zeros(np.broadcast(tf, max_tf, dfa).shape, dtype=np.float64)
     ok = (tf != 0) & (max_tf != 0) & (dfa != 0)
+    if np.all(ok):
+        # hot path (index side: tf/max_tf/df are all >= 1 by construction):
+        # straight-line kernels, no masks, no gather/scatter copies
+        out = (0.4 + 0.6 * np.log(tf + 0.5) / np.log(max_tf + 1.0)) * idf(N, dfa)
+        return out if out.shape else float(out)
+    out = np.zeros(np.broadcast(tf, max_tf, dfa).shape, dtype=np.float64)
     if not np.any(ok):
         return out if out.shape else float(out)
     tf_ok = np.broadcast_to(tf, out.shape)[ok]
@@ -67,8 +72,11 @@ def w2_weight(tf, doc_len, df, N: int, avg_doc_len: float):
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(doc_len, dtype=np.float64)
     dfa = np.asarray(df, dtype=np.int64)
-    out = np.zeros(np.broadcast(tf, dl, dfa).shape, dtype=np.float64)
     ok = (tf != 0) & (dl != 0) & (dfa != 0)
+    if np.all(ok):
+        out = 0.4 + 0.6 * (tf / (tf + 0.5 + 1.5 * (dl / avg_doc_len))) * idf(N, dfa)
+        return out if out.shape else float(out)
+    out = np.zeros(np.broadcast(tf, dl, dfa).shape, dtype=np.float64)
     if not np.any(ok):
         return out if out.shape else float(out)
     tf_ok = np.broadcast_to(tf, out.shape)[ok]

@@ -88,6 +88,8 @@ class ShardState:
         N: int,
         avgdl: float,
     ) -> None:
+        import pyarrow.compute as pc
+
         from ..stages.norms import load_weights
 
         tables = [pq.read_table(f) for f in sorted(files)]
@@ -97,28 +99,50 @@ class ShardState:
             self.doc_lo, self.doc_hi = 0, -1
             return
         ids_flat, lens, wn_flat = load_weights(t, df_map, N, avgdl)
-        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-        offsets[1:] = np.cumsum(lens)
         self.doc_lo = int(ids_flat.min())
         self.doc_hi = int(ids_flat.max())
-        terms = t["term"].to_pylist()
-        rows_by_term: dict[str, list[int]] = {}
-        for row, term in enumerate(terms):
-            rows_by_term.setdefault(term, []).append(row)
-        for term, rows in rows_by_term.items():
-            parts = [slice(offsets[r], offsets[r + 1]) for r in rows]
-            ids = np.concatenate([ids_flat[p] for p in parts])
-            wn = {s: np.concatenate([wn_flat[s][p] for p in parts]) for s in wn_flat}
-            win = (ids - self.doc_lo) // WINDOW
-            seg_starts = np.concatenate(
-                ([0], np.flatnonzero(np.diff(win)) + 1)
-            ).astype(np.int64)
-            wmax = {s: np.maximum.reduceat(wn[s], seg_starts) for s in wn}
+        # ONE stable sort groups every term's postings contiguously while
+        # preserving salt (= doc) order, so all per-term arrays below are
+        # zero-copy views — a per-term concat loop dominated load time
+        enc = pc.dictionary_encode(t["term"].combine_chunks())
+        codes = np.repeat(enc.indices.to_numpy(), lens)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        ids_s = ids_flat[order]
+        wn_s = {s: w[order] for s, w in wn_flat.items()}
+        win = (ids_s - self.doc_lo) // WINDOW
+        # segment = run of equal (term, window); term boundary always starts
+        # a new segment, so per-term windows slice out of the global arrays
+        new_term = np.empty(codes.size, dtype=bool)
+        new_term[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new_term[1:])
+        new_seg = new_term.copy()
+        new_seg[1:] |= win[1:] != win[:-1]
+        seg_starts_all = np.flatnonzero(new_seg)
+        wmax_all = {
+            s: np.maximum.reduceat(wn_s[s], seg_starts_all) for s in wn_s
+        }
+        win_ids_all = win[seg_starts_all]
+        # per-term spans over postings and over segments
+        term_starts = np.flatnonzero(new_term)
+        term_ends = np.concatenate((term_starts[1:], [codes.size]))
+        seg_of_term = np.cumsum(new_term[seg_starts_all]) - 1
+        seg_term_starts = np.flatnonzero(
+            np.concatenate(([True], np.diff(seg_of_term) > 0))
+        )
+        seg_term_ends = np.concatenate((seg_term_starts[1:], [seg_starts_all.size]))
+        dictionary = enc.dictionary.to_pylist()
+        for i, (ts, te, ss, se) in enumerate(
+            zip(term_starts, term_ends, seg_term_starts, seg_term_ends)
+        ):
+            term = dictionary[int(codes[ts])]
+            wn = {s: wn_s[s][ts:te] for s in wn_s}
+            wmax = {s: wmax_all[s][ss:se] for s in wmax_all}
             self.terms[term] = _TermData(
-                ids=ids,
+                ids=ids_s[ts:te],
                 wn=wn,
-                win_ids=win[seg_starts],
-                seg_starts=seg_starts,
+                win_ids=win_ids_all[ss:se],
+                seg_starts=seg_starts_all[ss:se] - ts,
                 wmax=wmax,
                 ub={s: float(wmax[s].max()) for s in wmax},
             )
