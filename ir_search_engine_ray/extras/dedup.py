@@ -198,8 +198,10 @@ def verify_jaccard(
     """Exact word-shingle Jaccard for each candidate pair; keeps pairs at or
     above ``threshold``.  Candidate texts are broadcast (small side)."""
     texts = {}
-    for row in docs_ds.select_columns(["doc_id", "text"]).iter_rows():
-        texts[row["doc_id"]] = row["text"]
+    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     texts_ref = ray.put(texts)
 
     def verify(batch: pa.Table) -> pa.Table:

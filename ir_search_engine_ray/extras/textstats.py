@@ -44,6 +44,28 @@ def token_count(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT2-style pre-tokenizer shape: contractions, leading-space words/numbers,
+# punctuation runs — the piece count a BPE tokenizer would start from
+_BPE_ISH = __import__("re").compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+def token_count_bpe(batch: pa.Table) -> pa.Table:
+    """doc_id -> BPE-ish piece count (whitespace pieces excluded) — the
+    cheap proxy for 'how many tokens will this cost to train on'."""
+    texts = batch["text"].to_pylist()
+    counts = [
+        sum(1 for m in _BPE_ISH.findall(t) if not m.isspace()) for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_pieces": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
 def quality_signals(batch: pa.Table) -> pa.Table:
     """Cheap quality heuristics: length, alpha ratio, stopword ratio, mean
     token length — the usual pre-training corpus filters."""

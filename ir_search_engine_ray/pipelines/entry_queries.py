@@ -240,6 +240,12 @@ def q_token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        textstats.token_count_bpe, batch_format="pyarrow"
+    )
+
+
 def q_quality_signals(sf_dir: str) -> ray.data.Dataset:
     # integer-only output (see module docstring): numerators/denominators
     def signals_int(batch: pa.Table) -> pa.Table:
@@ -569,6 +575,7 @@ def build_queries() -> dict:
         "index_stats_full": q_index_stats_full,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_signals": q_quality_signals,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
