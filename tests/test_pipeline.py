@@ -165,6 +165,32 @@ class TestRankIdentity:
                     atol=1e-12,
                 ), (qt, alg)
 
+    def test_block_max_wand_multi_window_pruning(
+        self, built, corpus, monkeypatch
+    ):
+        """With the default WINDOW the test corpus fits one block, so the
+        pruning path never runs; shrink the window so every query crosses
+        many blocks and assert all algorithms still agree exactly."""
+        import ir_search_engine_ray.pipelines.query as qmod
+
+        monkeypatch.setattr(qmod, "WINDOW", 64)  # 400 docs -> ~7 windows
+        eng = qmod.QueryEngine(built, local=True)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for scheme in ("w2", "w1"):
+            for k in (1, 3, 10):
+                for qt in queries:
+                    ex = eng.query(qt, scheme, k, "exhaustive")
+                    for alg in ("maxscore", "block_max_wand"):
+                        got = eng.query(qt, scheme, k, alg)
+                        assert [r["doc_id"] for r in got] == [
+                            r["doc_id"] for r in ex
+                        ], (qt, alg, scheme, k)
+                        assert np.allclose(
+                            [r["score"] for r in got],
+                            [r["score"] for r in ex],
+                            rtol=1e-12,
+                        )
+
     def test_empty_stopword_oov_queries(self, built):
         from ir_search_engine_ray.pipelines.query import QueryEngine
 
