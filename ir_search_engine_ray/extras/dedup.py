@@ -47,17 +47,34 @@ def exact_dedup(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _shingles(text: str, k: int) -> set[int]:
-    toks = _tokens(text)
-    if len(toks) < k:
-        return {hash_shingle(" ".join(toks))} if toks else set()
-    return {hash_shingle(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+_POLY_B = np.uint64(1099511628211)  # FNV prime; uint64 wraparound is the mix
 
 
-def hash_shingle(s: str) -> int:
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique k-token shingle hashes, vectorized: one crc per TOKEN, then a
+    rolling polynomial over token-hash windows — no per-shingle string
+    joins (hashing the joined strings cost k x more hash work)."""
     import zlib
 
-    return zlib.crc32(s.encode()) & 0xFFFFFFFF
+    toks = _tokens(text)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    if len(toks) < k:
+        h = np.uint64(0)
+        for v in th:
+            h = h * _POLY_B + v
+        return np.array([h], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(th, k)
+    powers = _POLY_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
+
+
+def _shingles(text: str, k: int) -> set[int]:
+    """Set view of :func:`_shingle_hashes` (tests / set algebra)."""
+    return set(_shingle_hashes(text, k).tolist())
 
 
 def _perm_params(num_perm: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
@@ -75,9 +92,7 @@ def minhash_signatures(
     a, b = _perm_params(num_perm)
     sigs = np.full((batch.num_rows, num_perm), _MERSENNE, dtype=np.int64)
     for r, text in enumerate(batch["text"].to_pylist()):
-        sh = np.fromiter(
-            (s % _MERSENNE for s in _shingles(text, shingle_k)), dtype=np.uint64
-        )
+        sh = _shingle_hashes(text, shingle_k) % np.uint64(_MERSENNE)
         if sh.size == 0:
             continue
         # (num_perm, n_shingles) -> min along shingles; exact in uint64
@@ -210,9 +225,10 @@ def verify_jaccard(
         db = batch["doc_b"].to_pylist()
         jac = []
         for x, y in zip(da, db):
-            sa, sb = _shingles(tx[x], shingle_k), _shingles(tx[y], shingle_k)
-            inter = len(sa & sb)
-            union = len(sa | sb)
+            sa = _shingle_hashes(tx[x], shingle_k)
+            sb = _shingle_hashes(tx[y], shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             jac.append(inter / union if union else 0.0)
         t = pa.table(
             {
