@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..config import IndexConfig, QueryConfig
 from ..datagen import fixture_dir

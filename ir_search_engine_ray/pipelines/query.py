@@ -49,7 +49,6 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import QueryConfig
-from ..functions.codec import decode_postings_column
 from ..functions.scoring import query_weights, topk_from_scores
 from ..stages.docids import doc_ids_to_keys
 from ..textproc import TokenPipeline
