@@ -341,3 +341,46 @@ class TestKillResume:
         skipped_blocks = [m for m in man if m["kind"] == "block" and m["skipped"]]
         if n_partial:  # the kill landed mid-stage: completed runs were reused
             assert skipped_blocks
+
+
+class TestDocIdAssignment:
+    def test_unknown_conv_id_rejected(self, ray_session):
+        import pyarrow as pa
+
+        from ir_search_engine_ray.stages.docids import (
+            assign_doc_ids,
+            offsets_arrays,
+        )
+
+        batch = pa.table(
+            {
+                "conv_id": pa.array(["conv-a", "conv-MISSING"]),
+                "turn_idx": pa.array([0, 1], type=pa.int32()),
+                "text": pa.array(["x", "y"]),
+            }
+        )
+        offs = offsets_arrays({"conv-a": 0})
+        with pytest.raises(KeyError, match="conv-MISSING"):
+            assign_doc_ids(batch, offsets_ref=offs)
+
+    def test_dict_and_array_broadcast_agree(self, ray_session):
+        import pyarrow as pa
+
+        from ir_search_engine_ray.stages.docids import (
+            assign_doc_ids,
+            offsets_arrays,
+        )
+
+        offsets = {"a": 0, "b": 7, "c": 19}
+        batch = pa.table(
+            {
+                "conv_id": pa.array(["b", "a", "c", "b"]),
+                "turn_idx": pa.array([2, 0, 5, 0], type=pa.int32()),
+                "text": pa.array(["", "", "", ""]),
+            }
+        )
+        via_dict = assign_doc_ids(batch, offsets_ref=offsets)["doc_id"].to_pylist()
+        via_arrays = assign_doc_ids(
+            batch, offsets_ref=offsets_arrays(offsets)
+        )["doc_id"].to_pylist()
+        assert via_dict == via_arrays == [9, 0, 24, 7]
