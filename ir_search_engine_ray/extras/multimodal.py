@@ -132,3 +132,119 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImages:
+    """Actor-pool stage: image payload -> payload "resized" to target dims.
+
+    STUB codec (no PIL in-sandbox): the fake deterministically re-samples
+    payload bytes to a size proportional to the target area, and the
+    metadata columns are updated for real — so schema/flow are production-
+    shaped and only the pixel work is fake."""
+
+    def __init__(self, width: int, height: int, real: bool = False) -> None:
+        if real and not _have_real_decoder():
+            raise NotImplementedError("real resize requires PIL")
+        self.width = int(width)
+        self.height = int(height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads = []
+        for p, kind in zip(batch["payload"], batch["kind"].to_pylist()):
+            raw = np.frombuffer(p.as_py(), dtype=np.uint8)
+            if kind != "image" or raw.size == 0:
+                out_payloads.append(raw.tobytes())
+                continue
+            target = max(16, (self.width * self.height) // 256)
+            idx = (np.arange(target) * raw.size // target) % raw.size
+            out_payloads.append(raw[idx].tobytes())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out_payloads, type=pa.binary()),
+                "width": pa.array(
+                    np.where(
+                        np.array(batch["kind"].to_pylist()) == "image",
+                        self.width,
+                        batch["width"].to_numpy(),
+                    ).astype(np.int32)
+                ),
+                "height": pa.array(
+                    np.where(
+                        np.array(batch["kind"].to_pylist()) == "image",
+                        self.height,
+                        batch["height"].to_numpy(),
+                    ).astype(np.int32)
+                ),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME
+    (flat_map-shaped: output rows != input rows).
+
+    Frame extraction is STUBBED (no decoder in-sandbox): each "frame" is a
+    deterministic byte slice of the payload at the sampled timestamp; the
+    sampling schedule (every ``every_ms``) and the exploded output layout
+    are real."""
+
+    def __init__(self, every_ms: int = 1000, real: bool = False) -> None:
+        if real and not _have_real_decoder():
+            raise NotImplementedError("real frame sampling requires a video codec")
+        self.every_ms = max(1, int(every_ms))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_ts, frames = [], [], []
+        for mid, kind, p, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"],
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or dur <= 0:
+                continue
+            raw = p.as_py()
+            for ts in range(0, dur, self.every_ms):
+                a = (ts * max(1, len(raw))) // max(1, dur)
+                frames.append(raw[a : a + 64] or b"\0")
+                media_ids.append(mid)
+                frame_ts.append(ts)
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.int64()),
+                "frame_ts_ms": pa.array(frame_ts, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def resize_images(
+    media_ds: ray.data.Dataset, width: int, height: int, *,
+    concurrency: int = 2, batch_size: int = 64,
+) -> ray.data.Dataset:
+    return media_ds.map_batches(
+        ResizeImages,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media_ds: ray.data.Dataset, every_ms: int = 1000, *,
+    concurrency: int = 2, batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Small batches: frame explosion multiplies row count and payload
+    bytes; batch bytes x concurrency must fit the worker heap."""
+    return media_ds.map_batches(
+        SampleFrames,
+        fn_constructor_args=(every_ms,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

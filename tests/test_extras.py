@@ -292,3 +292,41 @@ class TestWindows:
         )
         assert out["n_events"].tolist() == [2, 1, 1]
         assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+
+    def test_resize_and_frame_sample(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import multimodal
+
+        t = multimodal.synth_media_table(30)
+        resized = multimodal.resize_images(
+            ray.data.from_arrow(t), 64, 64
+        ).to_pandas()
+        assert len(resized) == 30
+        imgs = resized[resized["kind"] == "image"]
+        assert (imgs["width"] == 64).all() and (imgs["height"] == 64).all()
+        others = resized[resized["kind"] != "image"]
+        orig = t.to_pandas().set_index("media_id")
+        assert (
+            others.set_index("media_id")["width"]
+            == orig.loc[others["media_id"]]["width"]
+        ).all()
+
+        frames = multimodal.sample_frames(
+            ray.data.from_arrow(t), every_ms=5000
+        ).to_pandas()
+        vids = orig[orig["kind"] == "video"]
+        want = int(sum(-(-d // 5000) for d in vids["duration_ms"]))
+        assert len(frames) == want
+        assert set(frames["media_id"]) <= set(vids.index)
+        assert (frames["frame_ts_ms"] % 5000 == 0).all()
+
+    def test_resize_real_is_stubbed(self):
+        from ir_search_engine_ray.extras import multimodal
+
+        if multimodal._have_real_decoder():  # pragma: no cover
+            pytest.skip("decoder present")
+        with pytest.raises(NotImplementedError):
+            multimodal.ResizeImages(32, 32, real=True)
+        with pytest.raises(NotImplementedError):
+            multimodal.SampleFrames(real=True)
