@@ -126,29 +126,35 @@ def varint_decode_column(col) -> tuple[np.ndarray, np.ndarray]:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(n_rows, dtype=np.int64)
     is_last = (raw & 0x80) == 0
-    n_values = int(is_last.sum())
-    # every row boundary must fall on a value boundary
-    cum_last = np.cumsum(is_last)
-    at = np.where(bounds > 0, cum_last[np.minimum(bounds, raw.size) - 1], 0)
-    counts = np.diff(at)
-    if not is_last[-1] or int(at[-1]) != n_values:
+    # every non-empty row's final byte must terminate a value (cheap O(rows)
+    # validation; avoids materializing a bytes-length cumsum)
+    row_ends = bounds[1:]
+    nonempty = bounds[:-1] < row_ends
+    if not np.all(is_last[row_ends[nonempty] - 1]):
         raise ValueError("truncated varint stream")
-    starts = np.zeros(n_values, dtype=np.int64)
-    starts[1:] = np.nonzero(is_last)[0][:-1] + 1
+    counts = np.zeros(n_rows, dtype=np.int64)
+    if nonempty.any():
+        # reduceat segments between consecutive non-empty row starts cover
+        # each row exactly (empty rows contribute no bytes)
+        counts[nonempty] = np.add.reduceat(is_last, bounds[:-1][nonempty])
+    ends_pos = np.flatnonzero(is_last)
+    n_values = ends_pos.size
+    starts = np.empty(n_values, dtype=np.int64)
+    starts[0] = 0
+    np.add(ends_pos[:-1], 1, out=starts[1:])
     nbytes = np.empty(n_values, dtype=np.int64)
-    nbytes[:-1] = starts[1:] - starts[:-1]
-    nbytes[-1] = raw.size - starts[-1]
+    np.subtract(ends_pos, starts, out=nbytes)
+    nbytes += 1
     # gather byte k of every value that has one (<= 10 iterations) — a
-    # strided gather per 7-bit group beats a scatter-add over every byte
+    # strided gather per 7-bit group beats a scatter-add over every byte,
+    # and masking AFTER the gather keeps intermediates value-sized
     out = np.zeros(n_values, dtype=np.uint64)
-    payload = (raw & 0x7F).astype(np.uint64)
     sel = np.arange(n_values)
-    pos = starts.copy()
     k = 0
     while sel.size:
-        out[sel] |= payload[pos[sel]] << np.uint64(7 * k)
+        chunk = raw[starts[sel] + k]
+        out[sel] |= (chunk & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * k)
         k += 1
-        pos += 1
         sel = sel[nbytes[sel] > k]
     return out, counts
 
