@@ -134,11 +134,16 @@ def bench_queries(meta, sf_dir: str, rounds: int = 5) -> dict:
             eng.query(t)
             lat.append(time.perf_counter() - q0)
     total = time.perf_counter() - t0
+    b0 = time.perf_counter()
+    for _ in range(rounds):
+        eng.query_many(texts)  # one round-trip per actor for the whole set
+    batch_qps = (rounds * len(texts)) / (time.perf_counter() - b0)
     lat_ms = np.array(lat) * 1e3
     return {
         "seconds": total,
         "n_queries": len(lat),
         "qps": len(lat) / total,
+        "batch_qps": batch_qps,
         "p50_ms": float(np.percentile(lat_ms, 50)),
         "p95_ms": float(np.percentile(lat_ms, 95)),
     }
@@ -200,6 +205,7 @@ def run_main() -> None:
         "query_p50_ms": round(queries["p50_ms"], 2),
         "query_p95_ms": round(queries["p95_ms"], 2),
         "query_qps": round(queries["qps"], 1),
+        "query_qps_batch": round(queries["batch_qps"], 1),
     }
     print(json.dumps(result))
     ray.shutdown()
