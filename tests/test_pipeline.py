@@ -384,3 +384,37 @@ class TestDocIdAssignment:
             batch, offsets_ref=offsets_arrays(offsets)
         )["doc_id"].to_pylist()
         assert via_dict == via_arrays == [9, 0, 24, 7]
+
+
+class TestReferenceQuerySet:
+    def test_reference_queries_rank_identical(self, built, oracle_idx):
+        """The reference repo's own 20-query set (hw.queries.formatted),
+        run against the fixture corpus: engine == oracle, rank for rank,
+        score for score, every algorithm (the north rule's rank-identity
+        surface on the reference's query inputs)."""
+        qfile = Path("/root/reference/hw.queries.formatted")
+        if not qfile.exists():
+            pytest.skip("reference checkout not present")
+        from ir_search_engine_ray.oracle import oracle_query
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        queries = [q.strip() for q in qfile.read_text().splitlines() if q.strip()]
+        assert len(queries) == 20
+        eng = QueryEngine(built)
+        n_nonempty = 0
+        for scheme in ("w2", "w1"):
+            for qt in queries:
+                want = oracle_query(oracle_idx, qt, scheme, 10)
+                n_nonempty += bool(want)
+                for alg in ("exhaustive", "maxscore", "block_max_wand"):
+                    got = eng.query(qt, scheme, 10, alg)
+                    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+                    assert np.allclose(
+                        [r["score"] for r in got],
+                        [s for _, s in want],
+                        rtol=1e-9,
+                        atol=1e-12,
+                    )
+        # the aero-themed vocabulary overlaps the reference's aero queries,
+        # so this must not be a vacuous all-empty comparison
+        assert n_nonempty > 10
