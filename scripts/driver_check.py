@@ -1,4 +1,9 @@
-"""Mimic the driver: run queries() vs oracle_sql() at sf0.01, compare."""
+"""Mimic the driver: run queries() vs oracle_sql() side-by-side and compare.
+
+Usage (from the repo root): python scripts/driver_check.py [SF_DIR]
+Compares row counts, column names and value hashes like the round driver
+does (columns sorted by name, rows sorted, 6-decimal floats).
+"""
 import hashlib
 import sys
 
@@ -6,13 +11,11 @@ import duckdb
 import pandas as pd
 import ray
 
-sys.path.insert(0, "/root/repo")
-
 ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
 
 import __ray_entry__ as m
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def to_pandas(res):
