@@ -7,9 +7,13 @@ does (columns sorted by name, rows sorted, 6-decimal floats).
 import hashlib
 import sys
 
+from pathlib import Path
+
 import duckdb
 import pandas as pd
 import ray
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
 
