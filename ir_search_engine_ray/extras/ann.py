@@ -83,11 +83,17 @@ def cosine_topk(
 
 def train_centroids(
     emb_ds: ray.data.Dataset, nlist: int, *, sample: int = 4096, iters: int = 8,
-    seed: int = 3,
+    seed: int = 3, spherical: bool = False,
 ) -> np.ndarray:
-    """Driver-side mini k-means over a bounded sample (deterministic)."""
+    """Driver-side mini k-means over a bounded sample (deterministic).
+
+    ``spherical=True`` trains on L2-normalized vectors and renormalizes
+    centroids each iteration — the right bucketing when downstream
+    assignment/similarity is cosine rather than euclidean."""
     rows = emb_ds.limit(sample).take_all()
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if spherical:
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(mat.shape[0], size=min(nlist, mat.shape[0]), replace=False)]
     for _ in range(iters):
@@ -97,6 +103,10 @@ def train_centroids(
             m = assign == c
             if m.any():
                 cent[c] = mat[m].mean(axis=0)
+        if spherical:
+            cent = cent / np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-30
+            )
     return cent
 
 

@@ -112,28 +112,43 @@ N_SHUFFLE_PARTS = 64  # coarse hash partitions for the bucket shuffle
 
 def band_buckets(batch: pa.Table, *, bands: int) -> pa.Table:
     """Explode each signature into (band, bucket_hash, doc_id) rows, plus
-    the coarse shuffle-partition key ``part = hash(band,bucket) % P``."""
-    import zlib
+    the coarse shuffle-partition key ``part = hash(band,bucket) % P``.
 
-    out_band, out_bucket, out_doc = [], [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        rows_per_band = len(sig) // bands
-        for bi in range(bands):
-            chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-            key = zlib.crc32(np.array(chunk, dtype=np.int64).tobytes())
-            out_band.append(bi)
-            out_bucket.append(key)
-            out_doc.append(doc_id)
-    band = np.array(out_band, dtype=np.int32)
-    bucket = np.array(out_bucket, dtype=np.int64)
+    Fully vectorized: the fixed-width signature column is reshaped to
+    ``(n_docs, bands, rows_per_band)`` and each band row is folded into one
+    64-bit polynomial hash with ``rows_per_band`` vector ops — no Python
+    loop over docs or bands.  Bucket equality <=> band equality (collision
+    probability ~2^-64 per bucket)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "bucket": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int32()),
+            }
+        )
+    sig_col = batch["sig"].combine_chunks()
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    num_perm = flat.size // n
+    r = num_perm // bands
+    sigs = flat.view(np.uint64).reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        h = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):
+            h = h * _POLY_B + sigs[:, :, j]
+    bucket = h.view(np.int64).ravel()  # row-major: doc-major, band-minor
+    band = np.tile(np.arange(bands, dtype=np.int32), n)
+    doc = np.repeat(batch["doc_id"].to_numpy(), bands)
+    with np.errstate(over="ignore"):
+        part = ((bucket * 1_000_003 + band) % N_SHUFFLE_PARTS).astype(np.int32)
     return pa.table(
         {
             "band": pa.array(band),
             "bucket": pa.array(bucket),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "part": pa.array(
-                ((bucket * 1_000_003 + band) % N_SHUFFLE_PARTS).astype(np.int32)
-            ),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "part": pa.array(part),
         }
     )
 
@@ -209,27 +224,51 @@ def verify_jaccard(
     *,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact word-shingle Jaccard for each candidate pair; keeps pairs at or
-    above ``threshold``.  Candidate texts are broadcast (small side)."""
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(texts)
+    above ``threshold``.
+
+    Distributed as two hash joins of the pair list against the corpus on
+    doc_id (``Dataset.join``): candidate texts travel through the shuffle,
+    never through the driver — no corpus-sized broadcast, no stage whose
+    memory grows with the number of documents.  Only candidate docs'
+    texts are ever moved (the join is inner on the pair side).
+
+    ``num_partitions`` defaults to cluster_CPUs // 4 per join: both joins'
+    aggregator actor pools coexist in one streaming DAG, and oversizing
+    them deadlocks scheduling on small clusters."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+    docs_sel = docs_ds.select_columns(["doc_id", "text"])
+    j = pairs_ds
+    for side in ("a", "b"):
+        # the hash join drops the right key column; only "text" needs a
+        # side-specific name before the second join adds its twin
+        j = j.join(
+            docs_sel,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(f"doc_{side}",),
+            right_on=("doc_id",),
+        ).map_batches(
+            lambda b, side=side: b.rename_columns(
+                [f"text_{side}" if c == "text" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        da = batch["doc_a"].to_pylist()
-        db = batch["doc_b"].to_pylist()
-        jac = []
-        for x, y in zip(da, db):
-            sa = _shingle_hashes(tx[x], shingle_k)
-            sb = _shingle_hashes(tx[y], shingle_k)
+        jac = np.empty(batch.num_rows, dtype=np.float64)
+        for i, (ta, tb) in enumerate(
+            zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ):
+            sa = _shingle_hashes(ta, shingle_k)
+            sb = _shingle_hashes(tb, shingle_k)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            jac.append(inter / union if union else 0.0)
+            jac[i] = inter / union if union else 0.0
         t = pa.table(
             {
                 "doc_a": batch["doc_a"],
@@ -239,7 +278,34 @@ def verify_jaccard(
         )
         return t.filter(pa.compute.field("jaccard") >= threshold)
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _group_cosine_pairs(
+    group: pa.Table, *, threshold: float, id_col: str, round_to: int
+) -> pa.Table:
+    """All (a < b) pairs within one cluster group at/above threshold.
+
+    Per-vector normalization is independent of the group, so cosines are
+    bit-identical to the all-pairs baseline for any pair the buckets
+    surface."""
+    ids = group[id_col].to_numpy()
+    flat = (
+        group["embedding"].combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    mat = flat.reshape(ids.size, -1)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cos = mat @ mat.T
+    keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+    r, c = np.nonzero(keep)
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[r], type=pa.int64()),
+            "vec_b": pa.array(ids[c], type=pa.int64()),
+            "cosine": pa.array(np.round(cos[r, c], round_to), type=pa.float64()),
+        }
+    )
 
 
 def embedding_cosine_pairs(
@@ -248,19 +314,93 @@ def embedding_cosine_pairs(
     *,
     id_col: str = "vec_id",
     round_to: int = 6,
+    nlist: int = 16,
+    assign_k: int = 4,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs with
-    cosine similarity >= threshold.
+    """Embedding-cosine near-duplicate pairs via IVF buckets — the primary,
+    scale-shaped path.
 
-    Distributed as batch-x-broadcast matmuls: the normalized corpus matrix is
-    ``ray.put`` once (read per task from the local object store) and every
-    batch computes its block of the similarity matrix — no shuffle, exact
-    results, embarrassingly parallel over batches.  The broadcast side must
-    fit worker memory; at corpus sizes where it does not, candidate pairs
-    come from IVF buckets (extras/ann.py centroids: pairs within a probe
-    set) or hyperplane-LSH banding at a recall cost — the verify step here
-    is unchanged.
-    """
+    Each vector is assigned to its ``assign_k`` nearest of ``nlist``
+    k-means centroids (bounded driver-side training, extras/ann.py), the
+    exploded (cluster, vec) rows shuffle once on cluster, and each cluster
+    group generates its exact-cosine pairs locally; a final (vec_a, vec_b)
+    groupby collapses pairs found in several shared clusters.  No stage
+    materializes the corpus on the driver and no broadcast has to hold the
+    full matrix — compute is O(sum of cluster sizes squared) instead of
+    O(N^2).
+
+    A pair is found iff the two vectors share at least one of their
+    ``assign_k`` clusters, so recall < 1 is possible for pairs straddling
+    bucket boundaries; tests assert recall == 1.0 vs the all-pairs baseline
+    (:func:`embedding_cosine_pairs_allpairs`) at sandbox scale, and the
+    driver's exact SQL oracle enforces the same.  Raise ``assign_k``
+    (towards ``nlist``) to trade compute for recall."""
+    from . import ann
+
+    cent = ann.train_centroids(emb_ds, nlist, spherical=True)
+    cent_ref = ray.put(cent)
+    k = min(assign_k, cent.shape[0])
+
+    def explode_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        ids = batch[id_col].to_numpy()
+        flat = (
+            batch["embedding"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        mat = flat.reshape(ids.size, -1)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        # spherical assignment: nearest centroids by cosine (centroids are
+        # unit-norm, so max dot == min angle)
+        near = np.argpartition(-(mat @ c.T), k - 1, axis=1)[:, :k].astype(
+            np.int32
+        )
+        n = ids.size
+        rep = np.repeat(np.arange(n), k)
+        return pa.table(
+            {
+                "cluster": pa.array(near.ravel()),
+                id_col: pa.array(ids[rep], type=pa.int64()),
+                "embedding": batch["embedding"].take(pa.array(rep)),
+            }
+        )
+
+    exploded = emb_ds.select_columns([id_col, "embedding"]).map_batches(
+        explode_assign, batch_format="pyarrow"
+    )
+    pairs = exploded.groupby("cluster").map_groups(
+        lambda g: _group_cosine_pairs(
+            g, threshold=threshold, id_col=id_col, round_to=round_to
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Min("cosine"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_a": b["vec_a"],
+                    "vec_b": b["vec_b"],
+                    "cosine": b["min(cosine)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def embedding_cosine_pairs_allpairs(
+    emb_ds: ray.data.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> ray.data.Dataset:
+    """Exact all-pairs baseline: batch-x-broadcast matmuls over a
+    driver-materialized corpus matrix.  O(N^2) compute and the broadcast
+    must fit worker memory — kept ONLY as the small-scale oracle/recall
+    reference for :func:`embedding_cosine_pairs`; never the serving path."""
     t = pa.concat_tables(
         [b for b in emb_ds.select_columns([id_col, "embedding"]).iter_batches(
             batch_format="pyarrow"
@@ -290,36 +430,75 @@ def embedding_cosine_pairs(
     return emb_ds.map_batches(pairs, batch_format="pyarrow")
 
 
-def simhash_signatures(batch: pa.Table, *, bits: int = 64) -> pa.Table:
-    """Classic SimHash over token unigrams weighted by tf."""
-    out = []
-    for text in batch["text"].to_pylist():
-        acc = np.zeros(bits, dtype=np.int64)
-        toks = _tokens(text)
-        for tok in set(toks):
-            tf = toks.count(tok)
-            h = _token_hash64(tok)
-            bitvec = (h >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bitvec.astype(bool), tf, -tf)
-        sig = int(
-            np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)
-            )
+# SimHash token hash: 64-bit char polynomial + a splitmix64-style finalizer.
+# The multipliers keep their top bit CLEAR so the DuckDB oracle can mirror
+# every step with HUGEINT modular arithmetic ((2^64-1) * (2^63-1) < 2^127,
+# no 128-bit overflow); numpy uint64 wraparound gives the identical values
+# here.  Bit diffusion measured ~0.47..0.52 per bit over a 2k vocabulary.
+_SM_ADD = np.uint64(0x9E3779B97F4A7C15)
+_SM_MUL1 = np.uint64(0x3F58476D1CE4E5B9)
+_SM_MUL2 = np.uint64(0x14D049BB133111EB)
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+_CHARPOLY_MEMO: dict[str, int] = {}
+
+
+def _char_poly64(tok: str) -> int:
+    h = _CHARPOLY_MEMO.get(tok)
+    if h is None:
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) & _U64
+        _CHARPOLY_MEMO[tok] = h
+    return h
+
+
+def _token_hashes64(toks: list[str]) -> np.ndarray:
+    """Vectorized finalize over the per-token char polynomials."""
+    with np.errstate(over="ignore"):
+        z = np.fromiter(
+            (_char_poly64(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
-        out.append(sig - (1 << 63))  # store as signed int64
+        z = z + _SM_ADD
+        z ^= z >> np.uint64(30)
+        z = z * _SM_MUL1
+        z ^= z >> np.uint64(27)
+        z = z * _SM_MUL2
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _token_hash64(tok: str) -> np.uint64:
+    return _token_hashes64([tok])[0]
+
+
+def simhash_signatures(batch: pa.Table, *, bits: int = 64) -> pa.Table:
+    """Classic SimHash over token unigrams weighted by tf.
+
+    Per doc: Counter for tfs (one pass), then one (n_distinct, bits) matrix
+    accumulation — no per-token Python inner loop and no O(L^2) rescans.
+    Signatures are stored biased by -2^63 as int64 (order-preserving; the
+    top-bit flip cancels in every XOR/Hamming computation downstream)."""
+    from collections import Counter
+
+    shifts = np.arange(bits, dtype=np.uint64)
+    out = np.empty(batch.num_rows, dtype=np.int64)
+    for r, text in enumerate(batch["text"].to_pylist()):
+        cnt = Counter(_tokens(text))
+        if not cnt:
+            out[r] = -(1 << 63)
+            continue
+        tfs = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        hs = _token_hashes64(list(cnt.keys()))
+        bitm = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bitm - 1) * tfs[:, None]).sum(axis=0)
+        sig = int(np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts))
+        out[r] = sig - (1 << 63)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "simhash": pa.array(out, type=pa.int64()),
         }
-    )
-
-
-def _token_hash64(tok: str) -> np.uint64:
-    import hashlib
-
-    return np.uint64(
-        int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
     )
 
 

@@ -128,12 +128,20 @@ _FP_BASE = 1_000_003
 def doc_fingerprint(batch: pa.Table) -> pa.Table:
     """Order-sensitive rolling (polynomial) hash of the token stream —
     a cheap whole-document fingerprint for exact-content matching that
-    ignores whitespace/punctuation differences."""
+    ignores whitespace/punctuation differences.
+
+    The whole computation (char polynomial per token, token polynomial per
+    doc) is pure modular integer arithmetic so the DuckDB oracle reproduces
+    it exactly with ``list_reduce`` + HUGEINT (see
+    ``entry_queries.build_oracle_sql['doc_fingerprint']``)."""
     out = []
+    memo: dict[str, int] = {}
     for t in batch["text"].to_pylist():
         h = 0
         for tok in _tokens(t):
-            th = hash_token(tok)
+            th = memo.get(tok)
+            if th is None:
+                th = memo[tok] = hash_token(tok)
             h = (h * _FP_BASE + th) % _FP_MOD
         out.append(h)
     return pa.table(
@@ -145,10 +153,14 @@ def doc_fingerprint(batch: pa.Table) -> pa.Table:
 
 
 def hash_token(tok: str) -> int:
-    """Deterministic (process-independent) token hash."""
-    import zlib
-
-    return zlib.crc32(tok.encode()) & 0xFFFFFFFF
+    """Deterministic (process-independent) token hash: 32-bit char
+    polynomial ``h = h*31 + ord(c)``.  Chosen over crc32 because it is
+    expressible in ANSI SQL (fold over characters), making the fingerprint
+    oracle-checkable end to end."""
+    h = 0
+    for c in tok:
+        h = (h * 31 + ord(c)) & 0xFFFFFFFF
+    return h
 
 
 def run(docs_ds: ray.data.Dataset, fn) -> ray.data.Dataset:

@@ -208,6 +208,20 @@ def q_topk_w1_full(sf_dir: str) -> pa.Table:
 
 
 def q_index_stats_full(sf_dir: str) -> pa.Table:
+    """Full-mode index doc count — the SQL-checkable slice of the stats.
+
+    ``n_docs`` comes from the built full-mode index's metadata (so the
+    oracle genuinely checks the build pipeline's doc accounting), while
+    ``n_terms``/``n_postings`` depend on the TokenFilter+Porter pipeline
+    (not expressible in DuckDB: no fts/stem extension offline, RE2 lacks
+    the cascade's lookbehind) and live in
+    :func:`q_index_stats_full_detail` (rows-only; verified against the
+    pure-Python oracle in pytest)."""
+    meta = cached_index(sf_dir, "full")
+    return pa.table({"n_docs": pa.array([meta.N], type=pa.int64())})
+
+
+def q_index_stats_full_detail(sf_dir: str) -> pa.Table:
     meta = cached_index(sf_dir, "full")
     return pa.table(
         {
@@ -326,7 +340,10 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    return dedup.simhash_candidate_pairs(_docs_ds(sf_dir), max_hamming=8)
+    # max_hamming=3 makes the 4x16-bit banding PROVABLY recall-1.0
+    # (pigeonhole: <4 differing bits leave at least one band identical), so
+    # the exact all-pairs SQL oracle must match bit for bit
+    return dedup.simhash_candidate_pairs(_docs_ds(sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -426,6 +443,98 @@ ranked AS (
 """
 
 
+# GPT2-ish pre-tokenizer pattern for the SQL oracle.  RE2 lacks the Python
+# pattern's `\s+(?!\S)` lookahead, but whitespace pieces are filtered from
+# the count on both sides and how a whitespace RUN is segmented never
+# changes which non-whitespace pieces match (the ` ?` prefix only ever
+# absorbs the single space directly before a piece) — verified 0/500
+# mismatches against the Python regex on the driver corpus.
+_BPE_SQL_PATTERN = r"''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+# one-liner reused by several oracles: [a-z]+ tokens of a lowercased text
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+)
+
+
+def _sql_simhash_pairs(max_hamming: int) -> str:
+    """Exact all-pairs SimHash oracle: mirrors ``dedup._token_hashes64``
+    (char polynomial + splitmix-style finalizer, every step HUGEINT mod
+    2^64) and the tf-weighted bit vote, then pairs by bit_count(xor).
+    The Ray side's -2^63 signature bias cancels in the XOR."""
+    m = "18446744073709551616"  # 2^64
+    from ..extras.dedup import _SM_ADD, _SM_MUL1, _SM_MUL2
+
+    return f"""
+WITH tokl AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokl GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT tok FROM tf),
+h0 AS (SELECT tok, list_reduce(list_transform(string_split(tok, ''),
+            c -> ascii(c)::HUGEINT), (a,b) -> (a*31+b) % {m}) AS z FROM vocab),
+s1 AS (SELECT tok, (z + {int(_SM_ADD)}) % {m} AS z FROM h0),
+s2 AS (SELECT tok, xor(z, z >> 30) AS z FROM s1),
+s3 AS (SELECT tok, (z * {int(_SM_MUL1)}) % {m} AS z FROM s2),
+s4 AS (SELECT tok, xor(z, z >> 27) AS z FROM s3),
+s5 AS (SELECT tok, (z * {int(_SM_MUL2)}) % {m} AS z FROM s4),
+th AS (SELECT tok, xor(z, z >> 31) AS h FROM s5),
+bits AS (
+  SELECT tf.doc_id, b.b,
+         sum(CASE WHEN (th.h >> b.b) & 1 = 1 THEN tf.tf ELSE -tf.tf END) AS acc
+  FROM tf JOIN th USING (tok), (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS sh
+  FROM bits GROUP BY 1
+),
+sig AS (
+  -- tokenless docs get the all-zero signature, as in the Ray kernel
+  SELECT d.doc_id, (coalesce(s.sh, 0) - 9223372036854775808)::BIGINT AS sh
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+def _sql_minhash_pairs(threshold: float, shingle_k: int = 3) -> str:
+    """Exact all-pairs word-shingle Jaccard oracle.  The LSH banding is
+    recall-1.0 at driver scale (every true pair's Jaccard is far above the
+    threshold; asserted in tests), so verified candidates == exact pairs."""
+    k = shingle_k
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {k} THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ts) - {k - 2}),
+                   i -> {" || ' ' || ".join(f"ts[i+{j}]" for j in range(k))}))
+         END AS shingles
+  FROM toks WHERE len(ts) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE i::DOUBLE / (ca.n + cb.n - i) >= {threshold}
+"""
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     fx = str(fixture_dir(sf_dir))
     stop = STOPWORDS_SQL_LIST
@@ -460,6 +569,29 @@ SELECT doc_id,
                        x -> x <> '')) AS n_tokens
 FROM documents
 """,
+        "token_count_bpe": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS n_pieces
+FROM documents
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id,
+       CASE WHEN len(ts) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(ts, t ->
+             list_reduce(list_transform(string_split(t, ''),
+                                        c -> ascii(c)::BIGINT),
+                         (a, b) -> (a * 31 + b) & 4294967295)::HUGEINT),
+           (a, b) -> (a * 1000003 + b) % 2305843009213693951)::BIGINT
+       END AS fingerprint
+FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)
+""",
+        "index_stats_full": f"""
+SELECT count(*)::BIGINT AS n_docs
+FROM read_parquet('{fx}/transcripts/*.parquet')
+""",
+        "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
+        "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "quality_signals": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -493,9 +625,12 @@ WITH o AS (
   FROM events
 ),
 s AS (
+  -- ::BIGINT: DuckDB's windowed sum returns HUGEINT (-> float64 in pandas)
+  -- while the Ray side emits int64; values were already identical
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+           AS session_idx
   FROM o
 )
 SELECT user_id, session_idx,
@@ -573,6 +708,7 @@ def build_queries() -> dict:
         "topk_w2_full": q_topk_w2_full,
         "topk_w1_full": q_topk_w1_full,
         "index_stats_full": q_index_stats_full,
+        "index_stats_full_detail": q_index_stats_full_detail,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
