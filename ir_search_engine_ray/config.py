@@ -22,11 +22,23 @@ class IndexConfig:
     # the doc-partitioned query shards (see stages/merge.py)
     salt_buckets: int = 8
     tokenize_batch_size: int = 32768
+    # df table partitioning: rows per term-sorted df parquet part.  Serving
+    # actors stream only the parts overlapping their local lexicon instead
+    # of receiving a whole-vocabulary broadcast dict (stages/norms.py).
+    df_part_rows: int = 65536
+    # conversation-offsets strategy: None = auto (hierarchical once the
+    # input row count passes HIER_OFFSETS_ROWS), True/False = force.  The
+    # hierarchical path (stages/docids.py) keeps per-conversation work off
+    # the driver entirely.
+    offsets_hierarchical: bool | None = None
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
             json.dumps(asdict(self), sort_keys=True).encode()
         ).hexdigest()[:16]
+
+
+HIER_OFFSETS_ROWS = 10_000_000
 
 
 @dataclass(frozen=True)

@@ -59,7 +59,7 @@ import ray
 import ray.data
 
 from ..config import IndexConfig
-from ..stages.docids import assign_doc_ids, conversation_offsets, offsets_arrays
+from ..stages.docids import assign_doc_ids, conversation_offsets_table
 from ..stages.merge import merge_salt_table, range_size_for
 from ..stages.tokenize_stage import (
     TRIPLES_SCHEMA,
@@ -198,32 +198,28 @@ def build_index(
         ds = read_transcripts(
             paths, columns=["conv_id", "turn_idx"], override_num_blocks=2 * cpus
         )
-        offsets, N = conversation_offsets(ds)
-        convs_sorted = sorted(offsets)
-        bases = [offsets[c] for c in convs_sorted]
-        sizes = [
-            (bases[i + 1] if i + 1 < len(bases) else N) - bases[i]
-            for i in range(len(bases))
-        ]
-        atomic_write_bytes(
-            convs_path,
-            lambda tmp: pq.write_table(
-                pa.table(
-                    {
-                        "conv_id": pa.array(convs_sorted, type=pa.string()),
-                        "base": pa.array(bases, type=pa.int64()),
-                        "n_turns": pa.array(sizes, type=pa.int64()),
-                    }
-                ),
-                tmp,
-            ),
-        )
+        hier = config.offsets_hierarchical
+        if hier is None:
+            from ..config import HIER_OFFSETS_ROWS
+
+            hier = ds.count() >= HIER_OFFSETS_ROWS
+        tbl = conversation_offsets_table(ds, hierarchical=bool(hier))
+        atomic_write_bytes(convs_path, lambda tmp: pq.write_table(tbl, tmp))
         (out / "stage_convs").mkdir(exist_ok=True)
-        mark_stage_complete(out / "stage_convs", fp, n_convs=len(offsets), N=N)
+        mark_stage_complete(
+            out / "stage_convs",
+            fp,
+            n_convs=tbl.num_rows,
+            N=int(pa.compute.sum(tbl["n_turns"]).as_py() or 0),
+            hierarchical=bool(hier),
+        )
     convs = pq.read_table(convs_path)
-    offsets = dict(zip(convs["conv_id"].to_pylist(), convs["base"].to_pylist()))
+    # broadcast form straight from the persisted table — no dict and no
+    # per-conversation Python loop anywhere in the build
+    conv_arr = convs["conv_id"].combine_chunks()
+    base_arr = convs["base"].to_numpy()
     N = int(pa.compute.sum(convs["n_turns"]).as_py() or 0)
-    metrics["n_convs"] = len(offsets)
+    metrics["n_convs"] = convs.num_rows
     _lap("convs")
     range_size = range_size_for(N, config.salt_buckets)
 
@@ -241,7 +237,7 @@ def build_index(
         # and the fused tokenize
         n_batches = max(1, -(-N // config.tokenize_batch_size))
         ds = read_transcripts(paths, override_num_blocks=n_batches)
-        offsets_ref = ray.put(offsets_arrays(offsets))
+        offsets_ref = ray.put((conv_arr, base_arr))
         manifest = (
             ds.map_batches(
                 assign_doc_ids,
@@ -361,10 +357,28 @@ def build_index(
             df_out = pa.table(
                 {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
             )
-        atomic_write_bytes(
-            df_dir / "part-0.parquet", lambda tmp: pq.write_table(df_out, tmp)
-        )
-        mark_stage_complete(df_dir, fp)
+        # term-sorted parts of bounded size: serving actors stream only the
+        # parts overlapping their local lexicon (stages/norms.py DfStore)
+        # instead of receiving a whole-vocabulary broadcast
+        rows_per = max(1, int(config.df_part_rows))
+        n_parts = max(1, -(-df_out.num_rows // rows_per))
+        ranges: dict[str, tuple[str, str]] = {}
+        for p in range(n_parts):
+            piece = df_out.slice(p * rows_per, rows_per)
+            name = f"part-{p:05d}.parquet"
+            atomic_write_bytes(
+                df_dir / name,
+                lambda tmp, piece=piece: pq.write_table(piece, tmp),
+            )
+            if piece.num_rows:
+                ranges[name] = (
+                    piece["term"][0].as_py(),
+                    piece["term"][-1].as_py(),
+                )
+            else:
+                ranges[name] = ("", "")
+        atomic_write_json(df_dir / "_ranges.json", ranges)
+        mark_stage_complete(df_dir, fp, n_parts=n_parts)
     df_tbl = pq.read_table(df_dir, columns=["term", "df"])
     n_terms = df_tbl.num_rows
     df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))

@@ -42,6 +42,7 @@ from __future__ import annotations
 import heapq
 from collections import Counter
 from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -50,7 +51,6 @@ import ray
 
 from ..config import QueryConfig
 from ..functions.scoring import query_weights, topk_from_scores
-from ..stages.docids import doc_ids_to_keys
 from ..textproc import TokenPipeline
 from .index_build import IndexMeta
 
@@ -83,20 +83,29 @@ class ShardState:
     def __init__(
         self,
         files: list[str],
-        df_map: dict[str, int],
+        df_source: dict[str, int] | str,
         N: int,
         avgdl: float,
     ) -> None:
         import pyarrow.compute as pc
 
-        from ..stages.norms import load_weights
+        from ..stages.norms import DfStore, load_weights
 
         tables = [pq.read_table(f) for f in sorted(files)]
         t = pa.concat_tables(tables) if tables else None
         self.terms: dict[str, _TermData] = {}
+        self.df_local_size = 0
         if t is None or t.num_rows == 0:
             self.doc_lo, self.doc_hi = 0, -1
             return
+        if isinstance(df_source, (str, Path)):
+            # stream only the df rows for terms present in this shard's
+            # chunks (the norms.py scale path) — never the full vocabulary
+            local_terms = pc.unique(t["term"]).to_pylist()
+            df_map = DfStore(df_source).lookup(local_terms)
+        else:
+            df_map = df_source
+        self.df_local_size = len(df_map)
         ids_flat, lens, wn_flat = load_weights(t, df_map, N, avgdl)
         self.doc_lo = int(ids_flat.min())
         self.doc_hi = int(ids_flat.max())
@@ -280,10 +289,16 @@ class ShardState:
 @ray.remote
 class IndexShardActor:
     def __init__(
-        self, files: list[str], df_ref, N: int, avgdl: float
+        self, files: list[str], df_source, N: int, avgdl: float
     ) -> None:
-        df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
-        self.state = ShardState(files, df_map, N, avgdl)
+        # df_source: a path to the partitioned df dir (streamed, scale
+        # path), a ray.put dict handle, or a plain dict (tests)
+        if isinstance(df_source, ray.ObjectRef):
+            df_source = ray.get(df_source)
+        self.state = ShardState(files, df_source, N, avgdl)
+
+    def df_local_size(self) -> int:
+        return self.state.df_local_size
 
     def score(self, terms, weights, scheme, k, algorithm):
         return self.state.score(terms, weights, scheme, k, algorithm)
@@ -314,8 +329,16 @@ class QueryEngine:
         self.meta = meta
         self.config = config or QueryConfig()
         self.pipe = TokenPipeline(meta.mode)
+        # the driver holds the df table once (query-term weighting needs
+        # global dfs); shard actors stream only their local term ranges
         self.df_map = meta.df_map()
         self.offsets = meta.offsets()
+        # doc_id -> (conv_id, turn_idx) resolution arrays, built ONCE: the
+        # per-query path must not re-sort the conversation table
+        self._convs = sorted(self.offsets)
+        self._bases = np.array(
+            [self.offsets[c] for c in self._convs], dtype=np.int64
+        )
         files = [str(f) for f in meta.shard_files()]
         if not files:
             raise FileNotFoundError(f"no shards under {meta.out_dir}")
@@ -327,9 +350,9 @@ class QueryEngine:
         if local:
             self.states = [ShardState(g, self.df_map, N, avgdl) for g in groups]
         else:
-            df_ref = ray.put(self.df_map)
+            df_dir = str(meta.out_dir / "df")
             self.actors = [
-                IndexShardActor.remote(g, df_ref, N, avgdl) for g in groups
+                IndexShardActor.remote(g, df_dir, N, avgdl) for g in groups
             ]
             ray.get([a.ready.remote() for a in self.actors])
 
@@ -346,11 +369,12 @@ class QueryEngine:
         merged.sort(key=lambda t: (-t[1], t[0]))
         top = merged[:k]
         doc_arr = np.array([d for d, _ in top], dtype=np.int64)
-        convs, turns = (
-            doc_ids_to_keys(doc_arr, self.offsets, self.meta.N)
-            if top
-            else ([], np.array([], dtype=np.int32))
-        )
+        if top:
+            pos = np.searchsorted(self._bases, doc_arr, side="right") - 1
+            convs = [self._convs[i] for i in pos]
+            turns = (doc_arr - self._bases[pos]).astype(np.int32)
+        else:
+            convs, turns = [], np.array([], dtype=np.int32)
         return [
             {
                 "rank": r + 1,

@@ -83,6 +83,98 @@ def conversation_offsets(ds: ray.data.Dataset) -> tuple[dict[str, int], int]:
     return offsets, base
 
 
+def conversation_offsets_table(
+    ds: ray.data.Dataset, *, hierarchical: bool = False
+) -> pa.Table:
+    """(conv_id, base, n_turns) table under global conv_id order — the
+    persisted form of the offsets (``convs.parquet``).
+
+    ``hierarchical=False``: the driver-merge fast path
+    (:func:`conversation_offsets`), right while the conversation table fits
+    one process.
+
+    ``hierarchical=True``: the scale path promised in the module docstring —
+    per-batch combiners feed a distributed ``groupby(conv_id)`` then a
+    range-partitioning ``sort(conv_id)``; each sorted range VALIDATES turn
+    density and computes its local prefix sums in a Ray task, and the driver
+    touches only per-range totals (one tiny top-level prefix pass) plus the
+    final buffer concatenation for the broadcastable result.  No
+    conversation-count-sized dict and no per-conversation Python loop exist
+    anywhere; identical output to the fast path (asserted in tests).
+    """
+    if not hierarchical:
+        offsets, total = conversation_offsets(ds)
+        convs = sorted(offsets)
+        bases = np.array([offsets[c] for c in convs], dtype=np.int64)
+        sizes = np.empty(len(convs), dtype=np.int64)
+        if len(convs):
+            sizes[:-1] = bases[1:] - bases[:-1]
+            sizes[-1] = total - bases[-1]
+        return pa.table(
+            {
+                "conv_id": pa.array(convs, type=pa.string()),
+                "base": pa.array(bases),
+                "n_turns": pa.array(sizes),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(_conv_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n"), Max("max_turn"))
+        .sort("conv_id")
+    )
+    refs = [r for r in agg.to_arrow_refs()]
+
+    @ray.remote
+    def localize(t: pa.Table) -> tuple[pa.Table, int]:
+        """Validate density and compute the range-local exclusive prefix."""
+        n = t["sum(n)"].to_numpy().astype(np.int64)
+        max_turn = t["max(max_turn)"].to_numpy().astype(np.int64)
+        bad = np.flatnonzero(max_turn != n - 1)
+        if bad.size:
+            c = t["conv_id"][int(bad[0])].as_py()
+            raise ValueError(
+                f"conversation {c!r} has non-dense or duplicate turn_idx "
+                f"(count={int(n[bad[0]])}, max={int(max_turn[bad[0]])})"
+            )
+        local = np.zeros(n.size, dtype=np.int64)
+        np.cumsum(n[:-1], out=local[1:])
+        return (
+            pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "base": pa.array(local),
+                    "n_turns": pa.array(n),
+                }
+            ),
+            int(n.sum()),
+        )
+
+    pieces = ray.get([localize.remote(r) for r in refs])
+    pieces = [(t, tot) for t, tot in pieces if t.num_rows]
+    if not pieces:
+        return pa.table(
+            {
+                "conv_id": pa.array([], type=pa.string()),
+                "base": pa.array([], type=pa.int64()),
+                "n_turns": pa.array([], type=pa.int64()),
+            }
+        )
+    range_base = 0
+    out = []
+    for t, tot in pieces:
+        if range_base:
+            t = t.set_column(
+                1, "base", pa.array(t["base"].to_numpy() + range_base)
+            )
+        out.append(t)
+        range_base += tot
+    return pa.concat_tables(out)
+
+
 def offsets_arrays(offsets: dict[str, int]) -> tuple[pa.Array, np.ndarray]:
     """Broadcast form of the offsets table: (sorted conv_id Arrow array,
     parallel base array).  Arrow/numpy deserialize as buffer copies —

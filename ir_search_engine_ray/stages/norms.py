@@ -27,11 +27,64 @@ accumulated in posting order (same float64 operation order everywhere).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..functions.codec import decode_postings_column
 from ..functions.scoring import w1_weight, w2_weight
+
+
+class DfStore:
+    """Streaming access to the term-range-partitioned df table.
+
+    The build writes ``df/part-*.parquet`` as term-sorted slices of bounded
+    size (IndexConfig.df_part_rows).  A serving actor calls
+    :meth:`lookup` with its LOCAL lexicon and reads only the parts whose
+    term range overlaps it, filtering each part against the needed set —
+    peak memory is one part plus the local lexicon, never the global
+    vocabulary.  This is the scale path promised in the module docstring;
+    ``load_all`` is the driver-side convenience for query parsing (one
+    process, vocabulary-sized by design).
+    """
+
+    def __init__(self, df_dir: str | Path) -> None:
+        import json
+
+        d = Path(df_dir)
+        self.files = sorted(d.glob("part-*.parquet"))
+        ranges_file = d / "_ranges.json"
+        if ranges_file.exists():
+            by_name = json.loads(ranges_file.read_text())
+            self.ranges = [tuple(by_name[f.name]) for f in self.files]
+        else:
+            # no sidecar (e.g. hand-built dir): every part may overlap
+            self.ranges = [None] * len(self.files)
+
+    def lookup(self, terms) -> dict[str, int]:
+        need = sorted(set(terms))
+        if not need:
+            return {}
+        lo, hi = need[0], need[-1]
+        need_arr = pa.array(need, type=pa.string())
+        out: dict[str, int] = {}
+        for f, rng in zip(self.files, self.ranges):
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                continue
+            t = pq.read_table(f, columns=["term", "df"])
+            t = t.filter(pc.is_in(t["term"], value_set=need_arr))
+            out.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        return out
+
+    def load_all(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for f in self.files:
+            t = pq.read_table(f, columns=["term", "df"])
+            out.update(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        return out
 
 NORMS_SCHEMA = pa.schema(
     [

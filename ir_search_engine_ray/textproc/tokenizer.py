@@ -48,13 +48,17 @@ def normalize_text(text: str) -> str:
     return _TAG.sub(" ", text.lower())
 
 
-def _full_terms_uncached(raw: str, stem: bool) -> tuple[str, ...]:
+def _full_terms_uncached(raw: str, normalizer) -> tuple[str, ...]:
     out = []
     for piece in token_filter(raw):
         if piece in STOPWORDS:
             continue
-        out.append(porter_stem(piece) if stem else piece)
+        out.append(normalizer(piece))
     return tuple(out)
+
+
+def _identity(term: str) -> str:
+    return term
 
 
 class TokenPipeline:
@@ -62,12 +66,25 @@ class TokenPipeline:
 
     One instance lives per Ray actor / worker process (created in the stage's
     ``__init__``), so the cache is built once and reused across batches.
+
+    ``normalizer`` is the reference's lemmatize-or-stem slot
+    (``index/Indexer.java:82-103``: CoreNLP lemma when ``useStemming`` is
+    off): any ``str -> str`` callable applied to each post-filter,
+    post-stopword piece.  Defaults per mode (``full`` -> Porter,
+    ``full_nostem``/``simple`` -> identity); pass e.g. a lemmatizer to
+    reproduce the reference's lemma index.  Distributed builds keep the
+    named modes (config fingerprints must serialize); the hook serves
+    library/query-side users and custom build scripts, where the callable
+    ships to workers via the stage closure.
     """
 
-    def __init__(self, mode: str = "full") -> None:
+    def __init__(self, mode: str = "full", *, normalizer=None) -> None:
         if mode not in MODES:
             raise ValueError(f"unknown tokenizer mode {mode!r}; want one of {MODES}")
         self.mode = mode
+        if normalizer is None:
+            normalizer = porter_stem if mode == "full" else _identity
+        self.normalizer = normalizer
         self._cache: dict[str, tuple[str, ...]] = {}
 
     def raw_tokens(self, text: str) -> list[str]:
@@ -82,7 +99,7 @@ class TokenPipeline:
             if self.mode == "simple":
                 got = () if raw in STOPWORDS else (raw,)
             else:
-                got = _full_terms_uncached(raw, stem=(self.mode == "full"))
+                got = _full_terms_uncached(raw, self.normalizer)
             self._cache[raw] = got
         return got
 

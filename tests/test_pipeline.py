@@ -418,3 +418,90 @@ class TestReferenceQuerySet:
         # the aero-themed vocabulary overlaps the reference's aero queries,
         # so this must not be a vacuous all-empty comparison
         assert n_nonempty > 10
+
+
+class TestPartitionedDfServing:
+    def test_streamed_df_equals_broadcast_dict(
+        self, ray_session, built, corpus, tmp_path
+    ):
+        """Serving actors stream only their local term ranges from the
+        partitioned df table (stages/norms.py DfStore); forcing many tiny
+        parts must change neither the loaded lexicon nor any score."""
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine, ShardState
+        from ir_search_engine_ray.stages.norms import DfStore
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "idx",
+            IndexConfig(df_part_rows=16),
+            concurrency=2,
+        )
+        df_dir = meta.out_dir / "df"
+        assert len(list(df_dir.glob("part-*.parquet"))) > 10
+        df_map = meta.df_map()
+        files = [str(f) for f in meta.shard_files()][:2]
+        via_dict = ShardState(files, df_map, meta.N, meta.avg_doc_len)
+        via_path = ShardState(files, str(df_dir), meta.N, meta.avg_doc_len)
+        # the streamed shard loaded exactly its local lexicon, not the vocab
+        assert via_path.df_local_size == len(via_path.terms)
+        assert set(via_path.terms) == set(via_dict.terms)
+        for term in via_dict.terms:
+            np.testing.assert_array_equal(
+                via_dict.terms[term].ids, via_path.terms[term].ids
+            )
+            for s in ("w1", "w2"):
+                np.testing.assert_array_equal(
+                    via_dict.terms[term].wn[s], via_path.terms[term].wn[s]
+                )
+        # end to end through the actor pool (actors get the df DIR)
+        eng = QueryEngine(meta, QueryConfig(num_actors=2))
+        local = QueryEngine(meta, QueryConfig(num_actors=2), local=True)
+        sizes = [
+            __import__("ray").get(a.df_local_size.remote()) for a in eng.actors
+        ]
+        assert all(0 < s <= meta.n_terms for s in sizes)
+        for qt in ("flow mach wing", "pressure boundary layer", "the of"):
+            assert eng.query(qt) == local.query(qt)
+
+
+class TestHierarchicalOffsets:
+    def test_hierarchical_equals_fast_path(self, ray_session, corpus, tmp_path):
+        """Forcing the range-partitioned offsets path (threshold 0) must
+        produce a bit-identical convs table AND a bit-identical index."""
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.sources.transcripts import read_transcripts
+        from ir_search_engine_ray.stages.docids import conversation_offsets_table
+
+        src = str(corpus / "transcripts")
+        ds = read_transcripts(src, columns=["conv_id", "turn_idx"])
+        fast = conversation_offsets_table(ds, hierarchical=False)
+        hier = conversation_offsets_table(ds, hierarchical=True)
+        assert fast.equals(hier.combine_chunks().cast(fast.schema))
+
+        m_fast = build_index(
+            src, tmp_path / "fast", IndexConfig(offsets_hierarchical=False)
+        )
+        m_hier = build_index(
+            src, tmp_path / "hier", IndexConfig(offsets_hierarchical=True)
+        )
+        assert _engine_postings(m_fast.out_dir) == _engine_postings(m_hier.out_dir)
+
+    def test_hierarchical_validates_density(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ir_search_engine_ray.stages.docids import conversation_offsets_table
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "b"]),
+                "turn_idx": pa.array([0, 2, 0], type=pa.int32()),
+            }
+        )
+        with pytest.raises(Exception, match="non-dense|duplicate"):
+            conversation_offsets_table(
+                ray.data.from_arrow(t), hierarchical=True
+            )

@@ -215,3 +215,17 @@ class TestColumnDecoder:
         assert vals.tolist() == [4, 5, 5, 6, 6, 7]
         vals, lens = varint_decode_column(col.slice(0, 0))
         assert vals.size == 0 and lens.size == 0
+
+
+class TestNormalizerHook:
+    def test_custom_normalizer_replaces_stem(self):
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        def fake_lemma(term: str) -> str:
+            return {"jumps": "jump", "ran": "run"}.get(term, term)
+
+        pipe = TokenPipeline("full_nostem", normalizer=fake_lemma)
+        assert pipe("the fox jumps and ran") == ["fox", "jump", "run"]
+        # defaults unchanged: full -> Porter, full_nostem -> identity
+        assert TokenPipeline("full")("jumps") == ["jump"]
+        assert TokenPipeline("full_nostem")("jumps") == ["jumps"]
