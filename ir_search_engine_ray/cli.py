@@ -3,6 +3,7 @@
     python -m ir_search_engine_ray build  TRANSCRIPTS OUT [--mode ...] ...
     python -m ir_search_engine_ray query  INDEX_DIR "query text" [...]
     python -m ir_search_engine_ray batch-query INDEX_DIR QUERIES.parquet [...]
+    python -m ir_search_engine_ray curate DOCUMENTS.parquet OUT [...]
     python -m ir_search_engine_ray export INDEX_DIR OUT --format gamma
 
 On a cluster: ``ray job submit --working-dir . -- python -m
@@ -96,6 +97,37 @@ def _cmd_batch_query(args) -> None:
             print(json.dumps({"query_id": qid, **r}))
 
 
+def _cmd_curate(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .pipelines.curate import curate
+
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = curate(
+        docs,
+        min_tokens=args.min_tokens,
+        min_alpha_ratio=args.min_alpha_ratio,
+        lang=None if args.lang == "any" else args.lang,
+        jaccard_threshold=args.jaccard,
+    )
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(args.out, columns=["n_tokens"])
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": t.num_rows,
+                "total_tokens": int(
+                    __import__("pyarrow").compute.sum(t["n_tokens"]).as_py() or 0
+                ),
+            }
+        )
+    )
+
+
 def _cmd_export(args) -> None:
     from .pipelines.index_build import IndexMeta
     from .sources.legacy_export import export_legacy_index
@@ -139,6 +171,20 @@ def main(argv: list[str] | None = None) -> None:
     query_args(bq)
     bq.add_argument("queries", help="parquet with text [, query_id] columns")
     bq.set_defaults(fn=_cmd_batch_query)
+
+    c = sub.add_parser(
+        "curate",
+        help="documents parquet -> curated training set "
+        "(quality/lang gate, exact + near dedup, token accounting)",
+    )
+    c.add_argument("documents", help="documents parquet (doc_id, text, ...)")
+    c.add_argument("out", help="output parquet directory")
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--min-alpha-ratio", type=float, default=0.5)
+    c.add_argument("--lang", default="en", help="language gate, or 'any'")
+    c.add_argument("--jaccard", type=float, default=0.5,
+                   help="near-dup drop threshold")
+    c.set_defaults(fn=_cmd_curate)
 
     e = sub.add_parser("export", help="export legacy reference index formats")
     e.add_argument("index_dir")

@@ -339,6 +339,12 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
 
 
+def q_curated_docs(sf_dir: str) -> ray.data.Dataset:
+    from .curate import curate
+
+    return curate(_docs_ds(sf_dir))
+
+
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     # max_hamming=3 makes the 4x16-bit banding PROVABLY recall-1.0
     # (pigeonhole: <4 differing bits leave at least one band identical), so
@@ -502,36 +508,86 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
-def _sql_minhash_pairs(threshold: float, shingle_k: int = 3) -> str:
-    """Exact all-pairs word-shingle Jaccard oracle.  The LSH banding is
-    recall-1.0 at driver scale (every true pair's Jaccard is far above the
-    threshold; asserted in tests), so verified candidates == exact pairs."""
+def _sql_jaccard_ctes(source: str, shingle_k: int = 3) -> str:
+    """CTE chain ``jtoks..jpairs`` computing exact all-pairs word-shingle
+    Jaccard over a (doc_id, text) relation — shared by the minhash oracle
+    and the curation oracle."""
     k = shingle_k
-    return f"""
-WITH toks AS (
-  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+    return f"""jtoks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM {source}
 ),
-sh AS (
+jsh AS (
   SELECT doc_id,
          CASE WHEN len(ts) < {k} THEN [array_to_string(ts, ' ')]
               ELSE list_distinct(list_transform(range(1, len(ts) - {k - 2}),
                    i -> {" || ' ' || ".join(f"ts[i+{j}]" for j in range(k))}))
          END AS shingles
-  FROM toks WHERE len(ts) > 0
+  FROM jtoks WHERE len(ts) > 0
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-cnt AS (SELECT doc_id, len(shingles) AS n FROM sh),
-inter AS (
+jex AS (SELECT doc_id, unnest(shingles) AS s FROM jsh),
+jcnt AS (SELECT doc_id, len(shingles) AS n FROM jsh),
+jinter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM jex a JOIN jex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+  FROM jinter
+  JOIN jcnt ca ON ca.doc_id = doc_a
+  JOIN jcnt cb ON cb.doc_id = doc_b
+)"""
+
+
+def _sql_minhash_pairs(threshold: float, shingle_k: int = 3) -> str:
+    """Exact all-pairs word-shingle Jaccard oracle.  The LSH banding is
+    recall-1.0 at driver scale (every true pair's Jaccard is far above the
+    threshold; asserted in tests), so verified candidates == exact pairs."""
+    return f"""
+WITH {_sql_jaccard_ctes("documents", shingle_k)}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jpairs WHERE jaccard >= {threshold}
+"""
+
+
+def _sql_curated_docs() -> str:
+    """Oracle for the full curation pipeline (pipelines/curate.py): quality
+    + language gate -> exact dedup -> near-dup drop (doc_b of every exact
+    Jaccard pair at/above threshold) -> token accounting."""
+    from ..extras.textstats import LANG_MARKERS
+    from .curate import JACCARD_THRESHOLD, MIN_ALPPHA_RATIO, MIN_TOKENS
+
+    def hits(lang: str) -> str:
+        ms = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter(ts, x -> x IN ({ms})))"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS ts FROM documents
+),
+gate AS (
+  SELECT doc_id, text FROM base
+  WHERE len(ts) >= {MIN_TOKENS}
+    AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) >= {MIN_ALPPHA_RATIO}
+    AND {hits("en")} >= 1
+    AND {hits("en")} >= {hits("fr")}
+    AND {hits("en")} >= {hits("es")}
+    AND {hits("en")} >= {hits("de")}
+),
+surv AS (SELECT min(doc_id) AS doc_id, text FROM gate GROUP BY text),
+{_sql_jaccard_ctes("surv")},
+dropped AS (
+  SELECT DISTINCT doc_b FROM jpairs WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+kept AS (
+  SELECT doc_id, text FROM surv
+  WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
 )
-SELECT doc_a, doc_b,
-       round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
-FROM inter
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE i::DOUBLE / (ca.n + cb.n - i) >= {threshold}
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS n_pieces
+FROM kept
 """
 
 
@@ -592,6 +648,7 @@ FROM read_parquet('{fx}/transcripts/*.parquet')
 """,
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
+        "curated_docs": _sql_curated_docs(),
         "quality_signals": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -721,4 +778,5 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "curated_docs": q_curated_docs,
     }

@@ -330,3 +330,29 @@ class TestWindows:
             multimodal.ResizeImages(32, 32, real=True)
         with pytest.raises(NotImplementedError):
             multimodal.SampleFrames(real=True)
+
+
+class TestCurate:
+    def test_curate_stages(self, ray_session):
+        """Hand corpus: doc 3 (exact dup of 0) falls to exact dedup; doc 1
+        (near dup of 0) falls to the Jaccard drop; doc 4 (French) falls to
+        the language gate; docs 0 and 2 survive with their token counts."""
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        out = curate(_docs_ds(CORPUS, num_blocks=2)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 2]
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "n_tokens"] == len(CORPUS[0][1].split())
+
+    def test_curate_knobs(self, ray_session):
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        # no language gate, impossible near-dup threshold: only the exact
+        # dup should fall away
+        out = curate(
+            _docs_ds(CORPUS),
+            lang=None,
+            jaccard_threshold=1.1,
+            min_tokens=1,
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 4]

@@ -60,7 +60,13 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
 
 @pytest.mark.parametrize(
     "name",
-    ["token_count_bpe", "doc_fingerprint", "minhash_pairs", "simhash_pairs"],
+    [
+        "token_count_bpe",
+        "doc_fingerprint",
+        "minhash_pairs",
+        "simhash_pairs",
+        "curated_docs",
+    ],
 )
 def test_new_oracles_match(con, name, ray_session):
     _assert_query_matches_oracle(con, name, ray_session)
