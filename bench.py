@@ -8,8 +8,8 @@ Default run (`python bench.py`):
   - times the headline pipelines FRESH (checkpoint dirs wiped first so
     resume never skews timing): full-mode index build, the 20-query BM25
     top-10 set (per-query latencies -> p50/p95), and the training-data
-    extras (MinHash dedup, exact dedup, ANN top-k) over the driver's
-    documents/embeddings tables at the same sf;
+    extras (MinHash dedup, exact dedup, ANN top-k, end-to-end curation)
+    over the driver's documents/embeddings tables at the same sf;
   - prints ONE JSON line.
 
 Scaling run (`python bench.py --scaling`): runs the index build in FRESH
@@ -177,6 +177,12 @@ def bench_extras(sf_dir: str) -> dict:
     q_vec = np.array(emb.take(1)[0]["embedding"], dtype=np.float64)
     ann.cosine_topk(emb, q_vec, k=10, exclude=0)
     out["ann_cosine_topk"] = time.perf_counter() - t0
+
+    from ir_search_engine_ray.pipelines.curate import curate
+
+    t0 = time.perf_counter()
+    curate(docs).count()
+    out["curate"] = time.perf_counter() - t0
     return out
 
 

@@ -113,7 +113,11 @@ def curate(
         },
         batch_format="pyarrow",
     )
-    survivors = exact_survivors(gated)
+    # survivors feed THREE consumers (LSH signatures, the verify join's doc
+    # side, the final accounting pass); without materializing, Ray's lazy
+    # execution re-runs the gate + dedup shuffle once per consumer.  Blocks
+    # stay in the (spillable) object store — cache beats recompute here.
+    survivors = exact_survivors(gated).materialize()
     drop = neardup_drop_ids(survivors, threshold=jaccard_threshold)
     drop_ref = ray.put(pa.array(drop))
 
