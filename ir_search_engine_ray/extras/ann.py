@@ -81,6 +81,92 @@ def cosine_topk(
     )
 
 
+def _batch_topk_partial(
+    batch: pa.Table, *, q_ref, k: int, id_col: str, exclude_self: bool
+) -> pa.Table:
+    """Partial top-k for a MATRIX of query vectors: one matmul per batch
+    covers every query (batched inference shape), then a per-query
+    argpartition over the batch's rows."""
+    q_ids, q_mat = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+    mat = _batch_matrix(batch)
+    ids = batch[id_col].to_numpy()
+    if ids.size == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+    qn = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-30)
+    cos = (mat @ q_mat.T) / (norms[:, None] * qn[None, :])  # (n, n_q)
+    if exclude_self:
+        cos[ids[:, None] == q_ids[None, :]] = -np.inf
+    take = min(k, ids.size)
+    part = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, n_q)
+    qcol = np.repeat(q_ids, take)
+    rows = part.T.ravel()
+    vals = cos[rows, np.repeat(np.arange(q_ids.size), take)]
+    keep = np.isfinite(vals)
+    return pa.table(
+        {
+            "query_id": pa.array(qcol[keep], type=pa.int64()),
+            id_col: pa.array(ids[rows][keep], type=pa.int64()),
+            "cosine": pa.array(vals[keep], type=pa.float64()),
+        }
+    )
+
+
+def cosine_topk_batch(
+    emb_ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k for a batch of queries in one corpus pass.
+
+    The query matrix is broadcast once; every corpus batch answers ALL
+    queries with a single matmul — the batched form of
+    :func:`cosine_topk` (N queries cost one pass, not N passes).  Ties
+    break on ascending id per query."""
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((q_ids, np.asarray(query_mat, dtype=np.float64)))
+    partial = emb_ds.map_batches(
+        _batch_topk_partial,
+        fn_kwargs={
+            "q_ref": q_ref,
+            "k": k,
+            "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow",
+    )
+    t = pa.concat_tables(
+        [b for b in partial.iter_batches(batch_format="pyarrow")]
+    )
+    qc = t["query_id"].to_numpy()
+    ids = t[id_col].to_numpy()
+    cos = t["cosine"].to_numpy()
+    out_q, out_i, out_c = [], [], []
+    for q in q_ids:
+        m = qc == q
+        order = np.lexsort((ids[m], -cos[m]))[:k]
+        out_q.append(np.full(order.size, q, dtype=np.int64))
+        out_i.append(ids[m][order])
+        out_c.append(np.round(cos[m][order], 6))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_c)),
+        }
+    )
+
+
 def train_centroids(
     emb_ds: ray.data.Dataset, nlist: int, *, sample: int = 4096, iters: int = 8,
     seed: int = 3, spherical: bool = False,

@@ -75,6 +75,73 @@ def tumbling_counts(
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_counts(
+    events_ds: ray.data.Dataset,
+    *,
+    window_us: int = HOUR_US,
+    hop_us: int = HOUR_US // 4,
+) -> ray.data.Dataset:
+    """Per (hopping window, event_type): event count + value sum.
+
+    Overlapping fixed windows of length ``window_us`` starting every
+    ``hop_us`` (``window_us`` must be a multiple); an event belongs to
+    ``window_us // hop_us`` windows, so the per-batch combiner EXPLODES
+    each event into its windows (a k-fold fan-out of tiny rows) and
+    pre-aggregates before the same vocabulary-sized groupby as
+    :func:`tumbling_counts` — raw events are still never exchanged."""
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        base = (ts // hop_us) * hop_us
+        # windows [base - j*hop, base - j*hop + window) for j in 0..k-1
+        starts = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_us).ravel()
+        rep = np.repeat(np.arange(ts.size), k)
+        t = pa.table(
+            {
+                "window_start": pa.array(starts, type=pa.int64()),
+                "event_type": batch["event_type"].take(pa.array(rep)),
+                "n_events": pa.array(np.ones(starts.size, dtype=np.int64)),
+                "sum_value": batch["value"].take(pa.array(rep)),
+            }
+        )
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n_events": g["n_events_sum"],
+                "sum_value": g["sum_value_sum"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_events"), Sum("sum_value"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": b["window_start"].cast(pa.timestamp("us")),
+                "event_type": b["event_type"],
+                "n_events": b["sum(n_events)"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(b["sum(sum_value)"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def _sessions_for_user(group: pa.Table, *, gap_us: int) -> pa.Table:
     ts = np.sort(group["ts"].cast(pa.int64()).to_numpy())
     new_session = np.ones(ts.size, dtype=np.int64)

@@ -329,6 +329,39 @@ def q_sessions(sf_dir: str) -> ray.data.Dataset:
     return windows.sessionize(ev)
 
 
+HOP_US = windows.HOUR_US // 4  # 1h windows hopping every 15min
+
+
+def q_event_windows_hopping(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
+    return windows.hopping_counts(ev, window_us=windows.HOUR_US, hop_us=HOP_US)
+
+
+def q_ann_batch_topk(sf_dir: str) -> pa.Table:
+    """Batched ANN: 5 query vectors answered in ONE corpus pass."""
+    import pyarrow.parquet as pq
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    head = t.filter(pa.compute.less(t["vec_id"], 5)).sort_by("vec_id")
+    q_mat = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    return ann.cosine_topk_batch(
+        emb, head["vec_id"].to_numpy(), q_mat, k=10, exclude_self=True
+    )
+
+
+def q_ann_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with a full probe set degrades to exact — which makes the whole
+    IVF machinery (sampled k-means, cluster assignment, probe filtering)
+    driver-checkable against the exact SQL oracle."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q_vec = np.array(
+        emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    return ann.ivf_topk(emb, q_vec, k=10, nlist=16, nprobe=16, exclude=0)
+
+
 def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
@@ -703,7 +736,41 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
-        "ann_cosine_topk": """
+        "ann_cosine_topk": _SQL_ANN_EXACT,
+        "ann_ivf_full": _SQL_ANN_EXACT,
+        "ann_batch_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(c, 6) AS cosine FROM r WHERE rnk <= 10
+""",
+        "event_windows_hopping": f"""
+SELECT make_timestamp(ws) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT (epoch_us(ts) // {HOP_US}) * {HOP_US} - j * {HOP_US} AS ws,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, {windows.HOUR_US // HOP_US})) AS j)
+)
+GROUP BY 1, 2
+""",
+    }
+
+
+_SQL_ANN_EXACT = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
@@ -711,8 +778,7 @@ FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT 10
-""",
-    }
+"""
 
 
 def _sql_lang_id() -> str:
@@ -773,8 +839,11 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_full": q_ann_ivf_full,
+        "ann_batch_topk": q_ann_batch_topk,
         "embedding_neardup": q_embedding_neardup,
         "event_windows": q_event_windows,
+        "event_windows_hopping": q_event_windows_hopping,
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

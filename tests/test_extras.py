@@ -356,3 +356,62 @@ class TestCurate:
             min_tokens=1,
         ).to_pandas()
         assert sorted(out["doc_id"]) == [0, 1, 2, 4]
+
+
+class TestHoppingWindows:
+    def test_hopping_counts(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        # window 60s hopping every 20s: event at t=50s belongs to windows
+        # starting at 0s(?), 20s(?), 40s -> starts 40,20,0 with 60s length:
+        # [0,60) yes, [20,80) yes, [40,100) yes
+        t = pa.table(
+            {
+                "ts": pa.array([50 * us], type=pa.timestamp("us")),
+                "event_type": pa.array(["a"]),
+                "value": pa.array([2.0]),
+            }
+        )
+        out = (
+            windows.hopping_counts(
+                ray.data.from_arrow(t), window_us=60 * us, hop_us=20 * us
+            )
+            .to_pandas()
+            .sort_values("window_start", ignore_index=True)
+        )
+        starts = (out["window_start"].astype("int64") // us).tolist()
+        assert starts == [0, 20, 40]
+        assert out["n_events"].tolist() == [1, 1, 1]
+        assert out["sum_value"].tolist() == [2.0, 2.0, 2.0]
+
+    def test_window_must_be_hop_multiple(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        with pytest.raises(ValueError):
+            windows.hopping_counts(
+                ray.data.from_arrow(pa.table({"ts": pa.array([], type=pa.timestamp("us")),
+                                              "event_type": pa.array([], type=pa.string()),
+                                              "value": pa.array([], type=pa.float64())})),
+                window_us=100, hop_us=33,
+            )
+
+
+class TestBatchANN:
+    def test_batch_matches_single_query_topk(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = TestANN()._emb_ds(n=150)
+        q_ids = np.arange(3, dtype=np.int64)
+        batch = ann.cosine_topk_batch(
+            ds, q_ids, mat[:3], k=7, exclude_self=True
+        ).to_pandas()
+        for q in q_ids:
+            single = ann.cosine_topk(ds, mat[q], k=7, exclude=int(q)).to_pandas()
+            got = batch[batch["query_id"] == q].reset_index(drop=True)
+            assert got["vec_id"].tolist() == single["vec_id"].tolist()
+            assert np.allclose(got["cosine"], single["cosine"])

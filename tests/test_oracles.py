@@ -66,6 +66,9 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "minhash_pairs",
         "simhash_pairs",
         "curated_docs",
+        "ann_ivf_full",
+        "ann_batch_topk",
+        "event_windows_hopping",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
