@@ -97,6 +97,17 @@ def _cmd_batch_query(args) -> None:
             print(json.dumps({"query_id": qid, **r}))
 
 
+def _cmd_ingest_docs(args) -> None:
+    from .sources.transcripts import docs_dir_to_transcripts
+
+    _ensure_ray()
+    out = docs_dir_to_transcripts(args.docs_dir, args.out, glob=args.glob)
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(out, columns=["conv_id"]).num_rows
+    print(json.dumps({"out": out, "n_docs": n}))
+
+
 def _cmd_curate(args) -> None:
     import ray.data
 
@@ -171,6 +182,15 @@ def main(argv: list[str] | None = None) -> None:
     query_args(bq)
     bq.add_argument("queries", help="parquet with text [, query_id] columns")
     bq.set_defaults(fn=_cmd_batch_query)
+
+    g = sub.add_parser(
+        "ingest-docs",
+        help="reference-style one-doc-per-file corpus dir -> transcripts parquet",
+    )
+    g.add_argument("docs_dir")
+    g.add_argument("out")
+    g.add_argument("--glob", default="*")
+    g.set_defaults(fn=_cmd_ingest_docs)
 
     c = sub.add_parser(
         "curate",

@@ -52,3 +52,62 @@ def read_transcripts(
         columns=columns or INDEX_COLUMNS,
         override_num_blocks=override_num_blocks,
     )
+
+
+def docs_dir_to_transcripts(
+    path: str | Path,
+    out_parquet_dir: str | Path,
+    *,
+    glob: str = "*",
+    encoding: str = "utf-8",
+    rows_per_file: int = 4096,
+) -> str:
+    """Reference-style corpus source: a directory/glob of one-document-per-
+    file text/SGML files (``index/Indexer.java:74-88`` lists and sorts
+    filenames; ``pyindex/tokenizer.py:46-59`` globs ``Cranfield/*``) ->
+    transcripts-shaped parquet, so every pipeline in this repo runs on the
+    reference's own corpora unchanged.
+
+    Mapping: ``conv_id`` = the file's name (the reference's external doc
+    key), ``turn_idx`` = 0 (one doc per file); doc_ids then enumerate files
+    in sorted-name order exactly like the reference.  Tag stripping stays
+    in the tokenizer (``textproc.normalize_text``), not here — the raw text
+    is preserved for snippets.  The read is distributed
+    (``read_binary_files`` over the sorted file list); the parquet rewrite
+    makes the one-time conversion resumable and every later read
+    column-pruned.
+    """
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(str(f) for f in p.glob(glob) if Path(f).is_file())
+    if not files:
+        raise FileNotFoundError(f"no files matching {glob!r} under {p}")
+    out = Path(out_parquet_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def decode(batch: dict) -> pa.Table:
+        names = [Path(x).name for x in batch["path"]]
+        texts = [bytes(b).decode(encoding, errors="replace") for b in batch["bytes"]]
+        n = len(names)
+        return pa.table(
+            {
+                "conv_id": pa.array(names, type=pa.string()),
+                "turn_idx": pa.array([0] * n, type=pa.int32()),
+                "role": pa.array(["doc"] * n, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "tool": pa.array([""] * n, type=pa.string()),
+                "ts": pa.array([0] * n, type=pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    ds = ray.data.read_binary_files(files, include_paths=True).map_batches(
+        decode, batch_format="numpy", batch_size=rows_per_file
+    )
+    ds.write_parquet(str(out))
+    # normalize ray's output names so transcript_paths glob finds them
+    if not list(out.glob("*.parquet")):
+        raise RuntimeError(f"write_parquet produced no files under {out}")
+    # sanity: the table round-trips with the expected schema
+    pq.read_table(str(out), columns=INDEX_COLUMNS)
+    return str(out)

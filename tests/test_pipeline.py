@@ -505,3 +505,45 @@ class TestHierarchicalOffsets:
             conversation_offsets_table(
                 ray.data.from_arrow(t), hierarchical=True
             )
+
+
+class TestDocsDirSource:
+    def test_docs_dir_roundtrip_build_query(self, ray_session, tmp_path):
+        """Reference-style corpus: a dir of one-doc-per-file SGML files ->
+        transcripts parquet -> full build -> query; doc_ids enumerate files
+        in sorted-name order like the reference's filename sort."""
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.sources.transcripts import (
+            docs_dir_to_transcripts,
+        )
+
+        docs = {
+            "cranfield0001": "<TITLE>boundary layer flow</TITLE> experimental study of flow",
+            "cranfield0002": "<TEXT>heat transfer in supersonic nozzles</TEXT>",
+            "cranfield0003": "the mach number effects on wing flow",
+        }
+        src = tmp_path / "corpus"
+        src.mkdir()
+        for name, text in docs.items():
+            (src / name).write_text(text)
+        out = docs_dir_to_transcripts(src, tmp_path / "transcripts")
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out).sort_by("conv_id")
+        assert t["conv_id"].to_pylist() == sorted(docs)
+        assert t["turn_idx"].to_pylist() == [0, 0, 0]
+
+        meta = build_index(out, tmp_path / "idx", IndexConfig())
+        assert meta.N == 3
+        eng = QueryEngine(meta, QueryConfig(num_actors=1))
+        got = eng.query("boundary layer")
+        assert got and got[0]["conv_id"] == "cranfield0001"
+        # tags were stripped by the tokenizer, not indexed as terms
+        assert eng.query("TITLE") == [] and eng.query("text") == []
+        assert eng.query("mach")[0]["conv_id"] == "cranfield0003"
+        # the reference's integer-division idf quirk: df=2 of N=3 docs ->
+        # ln(3 // 2) = 0 -> the term carries zero weight, no results
+        assert eng.query("flow", k=3) == []
