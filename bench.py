@@ -47,6 +47,17 @@ def salt_buckets_for(sf_dir: str) -> int:
     return max(32, n_turns_for_sf(sf_dir) // 65536)
 
 
+def tokenize_batch_for(sf_dir: str) -> int:
+    """Size tokenize batches from the DATA (n_turns/64, clamped), not the
+    CPU count, so batch boundaries — and block file names — stay identical
+    across parallelism levels while small inputs still fan out wide enough
+    to fill the machine (at 32768 an sf0.1 run is only 7 tasks for 32
+    CPUs; at 8192 it is 25 and the blocks stage drops ~2.5x)."""
+    from ir_search_engine_ray.datagen import n_turns_for_sf
+
+    return min(32768, max(8192, n_turns_for_sf(sf_dir) // 64))
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -101,7 +112,11 @@ def bench_index_build(sf_dir: str, num_cpus: int) -> dict:
     meta = build_index(
         fx / "transcripts",
         out,
-        IndexConfig(mode="full", salt_buckets=salt_buckets_for(sf_dir)),
+        IndexConfig(
+            mode="full",
+            salt_buckets=salt_buckets_for(sf_dir),
+            tokenize_batch_size=tokenize_batch_for(sf_dir),
+        ),
     )
     secs = time.perf_counter() - t0
     return {

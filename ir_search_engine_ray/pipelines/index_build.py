@@ -202,7 +202,10 @@ def build_index(
         if hier is None:
             from ..config import HIER_OFFSETS_ROWS
 
-            hier = ds.count() >= HIER_OFFSETS_ROWS
+            # parquet footer metadata, not ds.count(): the threshold check
+            # must not cost a Ray job of its own
+            n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+            hier = n_rows >= HIER_OFFSETS_ROWS
         tbl = conversation_offsets_table(ds, hierarchical=bool(hier))
         atomic_write_bytes(convs_path, lambda tmp: pq.write_table(tbl, tmp))
         (out / "stage_convs").mkdir(exist_ok=True)
