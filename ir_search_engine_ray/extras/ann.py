@@ -177,6 +177,8 @@ def train_centroids(
     centroids each iteration — the right bucketing when downstream
     assignment/similarity is cosine rather than euclidean."""
     rows = emb_ds.limit(sample).take_all()
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     if spherical:
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)

@@ -223,27 +223,19 @@ def _block_num_rows(t: pa.Table) -> int:
     return t.num_rows
 
 
-def _drop_empty_blocks(
-    ds: ray.data.Dataset, schema: pa.Schema
-) -> ray.data.Dataset:
-    """Rebuild ``ds`` without empty blocks.
+def _nonempty_block_refs(ds: ray.data.Dataset) -> list:
+    """Refs of ``ds``'s non-empty blocks.
 
     Ray's sort-based aggregate can emit EMPTY ZERO-COLUMN blocks, and
     map_batches never invokes the UDF on empty blocks (so the schema cannot
     be repaired in-stream); ``Dataset.join`` then fails with "No match for
-    key field" when such a block reaches an aggregator.  Row counts are
-    checked in tasks next to the blocks (refs only on the driver); the cost
-    is an execution barrier on ``ds``, which a join forces anyway."""
+    key field" when such a block — or a fully empty input — reaches an
+    aggregator.  Row counts are checked in tasks next to the blocks (refs
+    only on the driver); the cost is an execution barrier on ``ds``, which
+    a join forces anyway."""
     refs = ds.to_arrow_refs()
     nrows = ray.get([_block_num_rows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, nrows) if n]
-    if not keep:
-        return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs(keep)
-
-
-_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-_DOCS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    return [r for r, n in zip(refs, nrows) if n]
 
 
 def verify_jaccard(
@@ -272,13 +264,17 @@ def verify_jaccard(
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 16)
-    docs_sel = _drop_empty_blocks(
-        docs_ds.select_columns(["doc_id", "text"]), _DOCS_SCHEMA
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
     )
-    j = _drop_empty_blocks(pairs_ds, _PAIRS_SCHEMA)
-    mid_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
-    )
+    pair_refs = _nonempty_block_refs(pairs_ds)
+    doc_refs = _nonempty_block_refs(docs_ds.select_columns(["doc_id", "text"]))
+    if not pair_refs or not doc_refs:
+        # the join operator cannot take a fully empty side; an empty
+        # candidate set (or corpus) verifies to an empty pair set
+        return ray.data.from_arrow(out_schema.empty_table())
+    docs_sel = ray.data.from_arrow_refs(doc_refs)
+    j = ray.data.from_arrow_refs(pair_refs)
     for side in ("a", "b"):
         # the hash join drops the right key column; only "text" needs a
         # side-specific name before the second join adds its twin.  The
@@ -297,7 +293,10 @@ def verify_jaccard(
             batch_format="pyarrow",
         )
         if side == "a":
-            j = _drop_empty_blocks(j, mid_schema)
+            mid_refs = _nonempty_block_refs(j)
+            if not mid_refs:  # no candidate doc_a survived the inner join
+                return ray.data.from_arrow(out_schema.empty_table())
+            j = ray.data.from_arrow_refs(mid_refs)
 
     def verify(batch: pa.Table) -> pa.Table:
         jac = np.empty(batch.num_rows, dtype=np.float64)
@@ -378,6 +377,13 @@ def embedding_cosine_pairs(
     from . import ann
 
     cent = ann.train_centroids(emb_ds, nlist, spherical=True)
+    if cent.shape[0] == 0:  # empty corpus: no centroids, no pairs
+        return ray.data.from_arrow(
+            pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                 ("cosine", pa.float64())]
+            ).empty_table()
+        )
     cent_ref = ray.put(cent)
     k = min(assign_k, cent.shape[0])
 

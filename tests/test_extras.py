@@ -415,3 +415,68 @@ class TestBatchANN:
             got = batch[batch["query_id"] == q].reset_index(drop=True)
             assert got["vec_id"].tolist() == single["vec_id"].tolist()
             assert np.allclose(got["cosine"], single["cosine"])
+
+
+class TestEmptyInputs:
+    """A user pointing the pipelines at an empty table must get empty
+    results, not crashes — every operator, end to end."""
+
+    def _empty_docs(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    def _empty_emb(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        )
+
+    def test_dedup_family_empty(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = self._empty_docs()
+        assert dedup.exact_dedup(docs).count() == 0
+        pairs = dedup.minhash_lsh_pairs(docs)
+        assert dedup.verify_jaccard(pairs, docs, threshold=0.5).count() == 0
+        assert dedup.simhash_candidate_pairs(docs).count() == 0
+        assert dedup.embedding_cosine_pairs(self._empty_emb(), 0.5).count() == 0
+
+    def test_ann_empty(self, ray_session):
+        import numpy as np
+
+        from ir_search_engine_ray.extras import ann
+
+        out = ann.cosine_topk(self._empty_emb(), np.ones(4), k=5)
+        assert out.num_rows == 0
+
+    def test_curate_empty(self, ray_session):
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        assert curate(self._empty_docs()).count() == 0
+
+    def test_textstats_empty(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        docs = self._empty_docs()
+        for fn in (
+            textstats.token_count,
+            textstats.token_count_bpe,
+            textstats.quality_signals,
+            textstats.lang_id,
+            textstats.doc_fingerprint,
+        ):
+            assert docs.map_batches(fn, batch_format="pyarrow").count() == 0
