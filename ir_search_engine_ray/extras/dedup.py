@@ -347,6 +347,52 @@ def _group_cosine_pairs(
     )
 
 
+def connected_components(
+    pairs_ds: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> ray.data.Dataset:
+    """Near-duplicate pairs -> duplicate CLUSTERS: (doc_id, cluster_id)
+    for every doc appearing in a pair, cluster_id = the minimum doc_id
+    reachable through the pair graph (so the cluster survivor under
+    min-id policy is the row where doc_id == cluster_id).
+
+    Union-find over the STREAMED pair batches on the driver: state is
+    O(distinct docs in pairs) — the near-duplicate set, orders of
+    magnitude smaller than the corpus, never the corpus itself (the
+    guide's "union-find on the driver only if the candidate set is
+    provably small" case).  At a pair volume where even that breaks,
+    the same contract is computed distributed with O(log n) rounds of
+    large-star/small-star min-label propagation (an iterated
+    groupby(node).min(label)); the output schema is unchanged."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs_ds.select_columns([a_col, b_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for a, b in zip(batch[a_col].to_pylist(), batch[b_col].to_pylist()):
+            ra = find(parent.setdefault(a, a))
+            rb = find(parent.setdefault(b, b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-id becomes the root
+    nodes = np.array(sorted(parent), dtype=np.int64)
+    labels = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes),
+                "cluster_id": pa.array(labels),
+            }
+        )
+    )
+
+
 def embedding_cosine_pairs(
     emb_ds: ray.data.Dataset,
     threshold: float,

@@ -372,6 +372,15 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup pairs -> transitive duplicate clusters (min-id label)."""
+    docs = _docs_ds(sf_dir)
+    pairs = dedup.verify_jaccard(
+        dedup.minhash_lsh_pairs(docs), docs, threshold=0.5
+    )
+    return dedup.connected_components(pairs)
+
+
 def q_curated_docs(sf_dir: str) -> ray.data.Dataset:
     from .curate import curate
 
@@ -682,6 +691,18 @@ FROM read_parquet('{fx}/transcripts/*.parquet')
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "curated_docs": _sql_curated_docs(),
+        "dedup_clusters": f"""
+WITH RECURSIVE {_sql_jaccard_ctes("documents")},
+good AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+          UNION SELECT doc_b, doc_a FROM good),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+""",
         "quality_signals": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -847,5 +868,6 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "curated_docs": q_curated_docs,
     }

@@ -480,3 +480,36 @@ class TestEmptyInputs:
             textstats.doc_fingerprint,
         ):
             assert docs.map_batches(fn, batch_format="pyarrow").count() == 0
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_clusters(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        pairs = pa.table(
+            {
+                "doc_a": pa.array([1, 2, 5, 8, 7], type=pa.int64()),
+                "doc_b": pa.array([2, 3, 6, 9, 9], type=pa.int64()),
+            }
+        )
+        out = dedup.connected_components(
+            ray.data.from_arrow(pairs).repartition(2)
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        # chain 1-2-3 -> cluster 1; 5-6 -> 5; 7-9-8 (via shared 9) -> 7
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        pairs = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+        assert dedup.connected_components(ray.data.from_arrow(pairs)).count() == 0

@@ -66,6 +66,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "minhash_pairs",
         "simhash_pairs",
         "curated_docs",
+        "dedup_clusters",
         "ann_ivf_full",
         "ann_batch_topk",
         "event_windows_hopping",
