@@ -30,4 +30,12 @@ def __getattr__(name):
         from . import config
 
         return getattr(config, name)
+    if name == "curate":
+        from .pipelines.curate import curate
+
+        return curate
+    if name == "TokenPipeline":
+        from .textproc import TokenPipeline
+
+        return TokenPipeline
     raise AttributeError(name)

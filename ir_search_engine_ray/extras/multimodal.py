@@ -248,3 +248,45 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_neardup(
+    media_ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.999,
+    feature_dim: int = 16,
+    nlist: int = 8,
+    assign_k: int = 4,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Near-duplicate media by decoded-feature cosine similarity — the
+    composed pipeline: actor-pool decode/feature-extract (stubbed codec,
+    real wiring) -> spherical-IVF bucketed cosine pairs
+    (``dedup.embedding_cosine_pairs``).  Identical payloads decode to
+    identical features, so exact duplicates surface at cosine 1.0
+    regardless of the decoder stub.  Output: (media_a, media_b, cosine)."""
+    from .dedup import embedding_cosine_pairs
+
+    feats = decode_features(
+        media_ds,
+        feature_dim=feature_dim,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    emb = feats.map_batches(
+        lambda b: pa.table(
+            {"vec_id": b["media_id"], "embedding": b["features"]}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = embedding_cosine_pairs(
+        emb, threshold, nlist=nlist, assign_k=assign_k
+    )
+    return pairs.map_batches(
+        lambda b: b.rename_columns(
+            ["media_a" if c == "vec_a" else "media_b" if c == "vec_b" else c
+             for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )

@@ -513,3 +513,29 @@ class TestConnectedComponents:
             }
         )
         assert dedup.connected_components(ray.data.from_arrow(pairs)).count() == 0
+
+
+class TestMediaNearDup:
+    def test_planted_duplicate_payload_found(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import multimodal
+
+        t = multimodal.synth_media_table(30)
+        # plant: media 30 is a byte-identical copy of media 0's payload
+        dup = pa.table(
+            {
+                "media_id": pa.array([30], type=pa.int64()),
+                "kind": t["kind"].slice(0, 1),
+                "payload": t["payload"].slice(0, 1),
+                "width": t["width"].slice(0, 1),
+                "height": t["height"].slice(0, 1),
+                "duration_ms": t["duration_ms"].slice(0, 1),
+            }
+        )
+        ds = ray.data.from_arrow(pa.concat_tables([t, dup])).repartition(3)
+        out = multimodal.media_neardup(ds, threshold=0.999).to_pandas()
+        got = {tuple(p) for p in out[["media_a", "media_b"]].itertuples(index=False)}
+        assert (0, 30) in got
+        row = out[(out["media_a"] == 0) & (out["media_b"] == 30)]
+        assert float(row["cosine"].iloc[0]) == 1.0
