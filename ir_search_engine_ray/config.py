@@ -47,3 +47,7 @@ class QueryConfig:
     top_k: int = 10
     num_actors: int = 4
     algorithm: str = "exhaustive"  # "exhaustive" | "maxscore" | "block_max_wand"
+    # False: the driver holds NO vocabulary-sized df table — query-term dfs
+    # stream from the partitioned df parquet on demand (memoized), for
+    # vocabularies beyond driver memory.  True (default) loads df once.
+    df_in_memory: bool = True

@@ -393,6 +393,97 @@ def connected_components(
     )
 
 
+def connected_components_distributed(
+    pairs_ds: ray.data.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed form of :func:`connected_components` — min-label
+    propagation, for pair graphs too large for driver union-find.
+
+    State is two Datasets: the (bidirectional) edge list and a
+    (node, label) table initialized to ``min(node, nearest neighbor)``.
+    Each round joins labels onto edge destinations, propagates the
+    neighbor's label to the source, and takes the per-node min; labels
+    only decrease, so an unchanged label SUM is convergence.  Rounds
+    needed = graph diameter in the worst case (near-dup components are
+    shallow in practice); every round's join inputs are rebuilt without
+    Ray's zero-column empty blocks (see :func:`_nonempty_block_refs`)."""
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 16)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b[a_col].combine_chunks(), b[b_col].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b[b_col].combine_chunks(), b[a_col].combine_chunks()]
+                ),
+            }
+        )
+
+    edge_refs = _nonempty_block_refs(
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
+    )
+    empty = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    if not edge_refs:
+        return ray.data.from_arrow(empty.empty_table())
+    edges = ray.data.from_arrow_refs(edge_refs).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        lab = np.minimum(b["src"].to_numpy(), b["min(dst)"].to_numpy())
+        return pa.table(
+            {"node": b["src"], "label": pa.array(lab, type=pa.int64())}
+        )
+
+    labels = edges.groupby("src").aggregate(Min("dst")).map_batches(
+        init_labels, batch_format="pyarrow"
+    )
+    prev_sum = None
+    for _round in range(max_rounds):
+        label_refs = _nonempty_block_refs(labels)
+        labels = ray.data.from_arrow_refs(label_refs).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "label": b["min(label)"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"], "cluster_id": b["label"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def embedding_cosine_pairs(
     emb_ds: ray.data.Dataset,
     threshold: float,

@@ -167,10 +167,88 @@ def _sessions_for_user(group: pa.Table, *, gap_us: int) -> pa.Table:
 
 
 def sessionize(
-    events_ds: ray.data.Dataset, *, gap_us: int = 30 * 60 * 1_000_000
+    events_ds: ray.data.Dataset,
+    *,
+    gap_us: int = 30 * 60 * 1_000_000,
+    split_us: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based session windows per user (session ends after ``gap_us`` of
-    inactivity); emits one row per (user, session)."""
-    return events_ds.select_columns(["user_id", "ts"]).groupby("user_id").map_groups(
-        _sessions_for_user, fn_kwargs={"gap_us": gap_us}, batch_format="pyarrow"
+    inactivity); emits one row per (user, session).
+
+    Default: one task per user (fine at any realistic skew).  For a
+    pathological mega-user whose events exceed one task, pass ``split_us``
+    to pre-split each user's timeline into fixed time ranges: per
+    (user, range) tasks compute LOCAL session segments (bounded work), and
+    a per-user second pass merges segments across range boundaries (its
+    input is one row per SEGMENT, orders of magnitude smaller than the
+    events) and renumbers.  Bit-identical output to the default path
+    (asserted in tests)."""
+    sel = events_ds.select_columns(["user_id", "ts"])
+    if split_us is None:
+        return sel.groupby("user_id").map_groups(
+            _sessions_for_user, fn_kwargs={"gap_us": gap_us},
+            batch_format="pyarrow",
+        )
+
+    def add_range(b: pa.Table) -> pa.Table:
+        rng = b["ts"].cast(pa.int64()).to_numpy() // split_us
+        return b.append_column("rng", pa.array(rng, type=pa.int64()))
+
+    def range_segments(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy())
+        new = np.ones(ts.size, dtype=bool)
+        new[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [ts.size])) - 1
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(starts.size, uid), type=pa.int64()
+                ),
+                "seg_start": pa.array(ts[starts], type=pa.int64()),
+                "seg_end": pa.array(ts[ends], type=pa.int64()),
+                "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+            }
+        )
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        order = np.argsort(group["seg_start"].to_numpy(), kind="stable")
+        s = group["seg_start"].to_numpy()[order]
+        e = group["seg_end"].to_numpy()[order]
+        n = group["n_events"].to_numpy()[order]
+        new = np.ones(s.size, dtype=np.int64)
+        new[1:] = (s[1:] - e[:-1] > gap_us).astype(np.int64)
+        idx = np.cumsum(new) - 1
+        n_sessions = int(idx[-1]) + 1
+        first = np.flatnonzero(new)
+        starts = s[first]
+        last = np.concatenate((first[1:], [s.size])) - 1
+        ends = e[last]
+        counts = np.zeros(n_sessions, dtype=np.int64)
+        np.add.at(counts, idx, n)
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_sessions, uid), type=pa.int64()),
+                "session_idx": pa.array(
+                    np.arange(n_sessions), type=pa.int64()
+                ),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "session_start": pa.array(starts, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ends, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    segs = (
+        sel.map_batches(add_range, batch_format="pyarrow")
+        .groupby(["user_id", "rng"])
+        .map_groups(range_segments, batch_format="pyarrow")
+    )
+    return segs.groupby("user_id").map_groups(
+        merge_user, batch_format="pyarrow"
     )

@@ -329,9 +329,18 @@ class QueryEngine:
         self.meta = meta
         self.config = config or QueryConfig()
         self.pipe = TokenPipeline(meta.mode)
-        # the driver holds the df table once (query-term weighting needs
-        # global dfs); shard actors stream only their local term ranges
-        self.df_map = meta.df_map()
+        # query-term weighting needs global dfs.  Default: one df table on
+        # the driver (vocabulary-sized, load once).  df_in_memory=False
+        # streams only the queried terms' rows from the partitioned df
+        # parquet (memoized) — no vocabulary-sized structure anywhere.
+        if self.config.df_in_memory:
+            self.df_map: dict[str, int] | None = meta.df_map()
+        else:
+            from ..stages.norms import DfStore
+
+            self.df_map = None
+            self._df_store = DfStore(meta.out_dir / "df")
+            self._df_cache: dict[str, int] = {}
         self.offsets = meta.offsets()
         # doc_id -> (conv_id, turn_idx) resolution arrays, built ONCE: the
         # per-query path must not re-sort the conversation table
@@ -347,20 +356,32 @@ class QueryEngine:
         groups = [g.tolist() for g in np.array_split(np.array(files), n)]
         self.local = local
         N, avgdl = meta.N, meta.avg_doc_len
+        df_dir = str(meta.out_dir / "df")
         if local:
-            self.states = [ShardState(g, self.df_map, N, avgdl) for g in groups]
+            src = self.df_map if self.df_map is not None else df_dir
+            self.states = [ShardState(g, src, N, avgdl) for g in groups]
         else:
-            df_dir = str(meta.out_dir / "df")
             self.actors = [
                 IndexShardActor.remote(g, df_dir, N, avgdl) for g in groups
             ]
             ray.get([a.ready.remote() for a in self.actors])
 
+    def _query_dfs(self, terms) -> dict[str, int]:
+        """Streamed-df mode: resolve dfs for just these terms (memoized;
+        a term absent from the index memoizes as 0)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            found = self._df_store.lookup(missing)
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return self._df_cache
+
     def parse(self, text: str) -> tuple[list[str], np.ndarray, float]:
         """Query terms in first-occurrence order + weights + ||q||
         (bag-of-words per ``search/Query.java:18-29``)."""
         q_tfs = Counter(self.pipe(text))
-        weights, q_norm = query_weights(dict(q_tfs), self.df_map, self.meta.N)
+        dfs = self.df_map if self.df_map is not None else self._query_dfs(q_tfs)
+        weights, q_norm = query_weights(dict(q_tfs), dfs, self.meta.N)
         terms = list(q_tfs)
         return terms, np.array([weights[t] for t in terms]), q_norm
 

@@ -539,3 +539,115 @@ class TestMediaNearDup:
         assert (0, 30) in got
         row = out[(out["media_a"] == 0) & (out["media_b"] == 30)]
         assert float(row["cosine"].iloc[0]) == 1.0
+
+
+class TestDistributedCC:
+    def test_matches_union_find(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        rng = np.random.default_rng(17)
+        # random sparse graph incl. a long chain (forces several rounds)
+        a = rng.integers(0, 60, size=40)
+        b = rng.integers(0, 60, size=40)
+        keep = a != b
+        chain = np.arange(100, 110)
+        pairs = pa.table(
+            {
+                "doc_a": pa.array(
+                    np.concatenate([np.minimum(a, b)[keep], chain[:-1]]),
+                    type=pa.int64(),
+                ),
+                "doc_b": pa.array(
+                    np.concatenate([np.maximum(a, b)[keep], chain[1:]]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(pairs).repartition(3)
+        uf = dedup.connected_components(ds).to_pandas()
+        dist = (
+            dedup.connected_components_distributed(ds)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        uf = uf.sort_values("doc_id", ignore_index=True)
+        assert uf.equals(dist)
+        # the chain collapsed to its minimum
+        got = dict(zip(dist["doc_id"], dist["cluster_id"]))
+        assert all(got[int(n)] == 100 for n in chain)
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        pairs = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+            }
+        )
+        assert (
+            dedup.connected_components_distributed(
+                ray.data.from_arrow(pairs)
+            ).count()
+            == 0
+        )
+
+
+class TestSessionizeSplit:
+    def test_split_path_identical_to_default(self, ray_session):
+        """Range-split sessionize (the mega-user scale path) must be
+        bit-identical to the per-user path, including sessions spanning
+        range boundaries."""
+        import pandas as pd
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        rng = np.random.default_rng(23)
+        rows = []
+        for uid in range(5):
+            t = 0
+            for _ in range(rng.integers(20, 60)):
+                t += int(rng.integers(1, 120)) * us  # gaps 1..119s, gap_us=60s
+                rows.append((uid, t))
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        canon = lambda df: df.sort_values(
+            ["user_id", "session_idx"], ignore_index=True
+        )
+        base = canon(windows.sessionize(ds, gap_us=60 * us).to_pandas())
+        # split at 100s: many sessions straddle range boundaries
+        split = canon(
+            windows.sessionize(
+                ds, gap_us=60 * us, split_us=100 * us
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(base, split)
+
+    def test_exact_boundary_gap_merges_across_ranges(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        # events at 95s and 155s: in different 100s ranges, gap exactly 60s
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([95 * us, 155 * us], type=pa.timestamp("us")),
+            }
+        )
+        out = windows.sessionize(
+            ray.data.from_arrow(t), gap_us=60 * us, split_us=100 * us
+        ).to_pandas()
+        assert len(out) == 1 and out["n_events"][0] == 2

@@ -547,3 +547,28 @@ class TestDocsDirSource:
         # the reference's integer-division idf quirk: df=2 of N=3 docs ->
         # ln(3 // 2) = 0 -> the term carries zero weight, no results
         assert eng.query("flow", k=3) == []
+
+
+class TestStreamedDfParse:
+    def test_no_driver_df_table_same_results(self, ray_session, built):
+        """df_in_memory=False: the driver resolves only queried terms from
+        the partitioned df parquet — results identical, including OOV and
+        all-stopword queries."""
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        mem = QueryEngine(built, QueryConfig(num_actors=2))
+        stream = QueryEngine(
+            built, QueryConfig(num_actors=2, df_in_memory=False)
+        )
+        assert stream.df_map is None
+        for qt in (
+            "flow mach wing",
+            "pressure boundary layer",
+            "zzzqxv unknownterm",
+            "the of and",
+            "",
+        ):
+            assert stream.query(qt) == mem.query(qt)
+        # the memo holds only queried terms, never the vocabulary
+        assert 0 < len(stream._df_cache) < built.n_terms
