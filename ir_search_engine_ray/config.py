@@ -31,6 +31,11 @@ class IndexConfig:
     # hierarchical path (stages/docids.py) keeps per-conversation work off
     # the driver entirely.
     offsets_hierarchical: bool | None = None
+    # df combine strategy: None = auto (distributed groupby+sort once the
+    # per-salt (term, df_chunk) row count passes DF_DISTRIBUTED_ROWS),
+    # True/False = force.  The driver path concatenates all chunk df
+    # columns in one process; the distributed path never does.
+    df_distributed: bool | None = None
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
@@ -39,6 +44,7 @@ class IndexConfig:
 
 
 HIER_OFFSETS_ROWS = 10_000_000
+DF_DISTRIBUTED_ROWS = 5_000_000
 
 
 @dataclass(frozen=True)

@@ -11,10 +11,12 @@ Four families over the ``documents`` table, each expressed Ray-Data-first:
 - n-gram Jaccard: exact similarity for a candidate pair set.
 
 Scale notes: candidate generation is shuffle-based (buckets are the group
-key) so no stage ever holds all pairs; verification re-reads only candidate
-docs.  At sandbox scale the verify step broadcasts the candidate doc texts
-(``ray.put`` once); at 10^12 docs it becomes a hash join of the pair list
-against the corpus on doc_id — the bucket machinery is unchanged.
+key) so no stage ever holds all pairs; verification is a hash join of the
+pair list against the corpus on doc_id (``verify_jaccard`` — candidate
+texts travel through the shuffle, never the driver); verified pairs resolve
+to transitive clusters via ``connected_components`` (driver union-find over
+the bounded pair set) or ``connected_components_distributed`` (min-label
+propagation) beyond that.
 """
 
 from __future__ import annotations

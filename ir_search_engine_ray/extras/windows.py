@@ -10,8 +10,11 @@ training-data pipeline needs, expressed Ray-Data-first:
 - ``sessionize``: session windows (gap-based) need per-key event ordering;
   ``groupby(user_id).map_groups`` hash-partitions by user and the per-user
   gap detection is vectorized numpy.  Partitioning assumption: one user's
-  events fit one task (true at any realistic skew; a pathological mega-user
-  would need per-key time-range pre-splitting with boundary session merge).
+  events fit one task (true at any realistic skew); for a pathological
+  mega-user pass ``split_us`` — per-key time-range pre-splitting with
+  boundary segment merge, bit-identical output;
+- ``hopping_counts``: overlapping fixed windows via an explode-combiner —
+  same vocabulary-sized groupby as tumbling.
 """
 
 from __future__ import annotations

@@ -332,56 +332,111 @@ def build_index(
     _lap("chunks")
 
     # ---- stage: df (A4 — vocabulary-sized combine over chunk rows; the
-    # chunk files already hold per-salt dfs, so this is a column-pruned read
-    # of (term, df_chunk) + one group_by.  Done on the driver at sandbox
-    # scale; at a vocabulary too large for one process this becomes a
-    # term-hash-partitioned ray.data groupby — the only all-to-all left,
-    # and it exchanges (term, int) rows, never postings.)
+    # chunk files already hold per-salt dfs, so the combine is a column-
+    # pruned read of (term, df_chunk) + one groupby.  Auto strategy: one
+    # driver process at sandbox scale, or a term-partitioned ray.data
+    # groupby + range sort once the row count passes DF_DISTRIBUTED_ROWS —
+    # the only Ray all-to-all in the build, exchanging (term, int) rows,
+    # never postings.  Either way the output is term-sorted parts with a
+    # range sidecar so serving actors stream only their lexicon's parts
+    # (stages/norms.py DfStore).)
     df_dir = out / "df"
     if stage_complete(df_dir, fp) is None:
         begin_stage(df_dir, fp, keep_partials=False)
-        parts = [
-            pq.read_table(f, columns=["term", "df_chunk"]) for f in chunk_files
-        ]
-        if parts:
-            df_agg = (
-                pa.concat_tables(parts)
-                .group_by("term")
-                .aggregate([("df_chunk", "sum")])
-                .sort_by("term")
+        distributed = config.df_distributed
+        if distributed is None:
+            from ..config import DF_DISTRIBUTED_ROWS
+
+            chunk_rows = sum(
+                pq.read_metadata(f).num_rows for f in chunk_files
             )
-            df_out = pa.table(
-                {
-                    "term": df_agg["term"],
-                    "df": df_agg["df_chunk_sum"].cast(pa.int64()),
-                }
-            )
-        else:
-            df_out = pa.table(
-                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
-            )
-        # term-sorted parts of bounded size: serving actors stream only the
-        # parts overlapping their local lexicon (stages/norms.py DfStore)
-        # instead of receiving a whole-vocabulary broadcast
-        rows_per = max(1, int(config.df_part_rows))
-        n_parts = max(1, -(-df_out.num_rows // rows_per))
+            distributed = chunk_rows >= DF_DISTRIBUTED_ROWS
         ranges: dict[str, tuple[str, str]] = {}
-        for p in range(n_parts):
-            piece = df_out.slice(p * rows_per, rows_per)
-            name = f"part-{p:05d}.parquet"
-            atomic_write_bytes(
-                df_dir / name,
-                lambda tmp, piece=piece: pq.write_table(piece, tmp),
+        if distributed and chunk_files:
+            from ray.data.aggregate import Sum
+
+            agg = (
+                ray.data.read_parquet(
+                    [str(f) for f in chunk_files],
+                    columns=["term", "df_chunk"],
+                )
+                .groupby("term")
+                .aggregate(Sum("df_chunk"))
+                .sort("term")
             )
-            if piece.num_rows:
-                ranges[name] = (
-                    piece["term"][0].as_py(),
-                    piece["term"][-1].as_py(),
+
+            @ray.remote
+            def write_part(t: pa.Table, path: str):
+                if t.num_rows == 0:
+                    return None
+                out_t = pa.table(
+                    {
+                        "term": t["term"],
+                        "df": t["sum(df_chunk)"].cast(pa.int64()),
+                    }
+                )
+                atomic_write_bytes(
+                    Path(path), lambda tmp: pq.write_table(out_t, tmp)
+                )
+                return (
+                    Path(path).name,
+                    t["term"][0].as_py(),
+                    t["term"][-1].as_py(),
+                )
+
+            infos = ray.get(
+                [
+                    write_part.remote(r, str(df_dir / f"part-{i:05d}.parquet"))
+                    for i, r in enumerate(agg.to_arrow_refs())
+                ]
+            )
+            for info in infos:
+                if info:
+                    ranges[info[0]] = (info[1], info[2])
+            n_parts = len(ranges)
+        else:
+            parts = [
+                pq.read_table(f, columns=["term", "df_chunk"])
+                for f in chunk_files
+            ]
+            if parts:
+                df_agg = (
+                    pa.concat_tables(parts)
+                    .group_by("term")
+                    .aggregate([("df_chunk", "sum")])
+                    .sort_by("term")
+                )
+                df_out = pa.table(
+                    {
+                        "term": df_agg["term"],
+                        "df": df_agg["df_chunk_sum"].cast(pa.int64()),
+                    }
                 )
             else:
-                ranges[name] = ("", "")
+                df_out = pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "df": pa.array([], pa.int64())}
+                )
+            rows_per = max(1, int(config.df_part_rows))
+            n_parts = max(1, -(-df_out.num_rows // rows_per))
+            for p in range(n_parts):
+                piece = df_out.slice(p * rows_per, rows_per)
+                name = f"part-{p:05d}.parquet"
+                atomic_write_bytes(
+                    df_dir / name,
+                    lambda tmp, piece=piece: pq.write_table(piece, tmp),
+                )
+                if piece.num_rows:
+                    ranges[name] = (
+                        piece["term"][0].as_py(),
+                        piece["term"][-1].as_py(),
+                    )
+                else:
+                    ranges[name] = ("", "")
         atomic_write_json(df_dir / "_ranges.json", ranges)
-        mark_stage_complete(df_dir, fp, n_parts=n_parts)
+        mark_stage_complete(
+            df_dir, fp, n_parts=n_parts, distributed=bool(distributed)
+        )
     df_tbl = pq.read_table(df_dir, columns=["term", "df"])
     n_terms = df_tbl.num_rows
     df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))

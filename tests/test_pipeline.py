@@ -572,3 +572,31 @@ class TestStreamedDfParse:
             assert stream.query(qt) == mem.query(qt)
         # the memo holds only queried terms, never the vocabulary
         assert 0 < len(stream._df_cache) < built.n_terms
+
+
+class TestDistributedDfCombine:
+    def test_distributed_df_equals_driver_combine(
+        self, ray_session, built, corpus, tmp_path
+    ):
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "idx",
+            IndexConfig(df_distributed=True),
+            concurrency=2,
+        )
+        assert meta.df_map() == built.df_map()
+        assert meta.n_terms == built.n_terms
+        # ranges sidecar present and consistent with the parts
+        import json
+
+        ranges = json.loads((meta.out_dir / "df" / "_ranges.json").read_text())
+        files = sorted((meta.out_dir / "df").glob("part-*.parquet"))
+        assert {f.name for f in files} == set(ranges)
+        eng = QueryEngine(meta, QueryConfig(num_actors=2))
+        base = QueryEngine(built, QueryConfig(num_actors=2))
+        for qt in ("flow mach wing", "pressure boundary layer"):
+            assert eng.query(qt) == base.query(qt)
