@@ -35,9 +35,36 @@ from .textstats import _tokens
 _MERSENNE = (1 << 31) - 1
 
 
+def _text_hash_cols(batch: pa.Table) -> pa.Table:
+    """(h1, h2): the text's 128-bit blake2b as two int64 columns —
+    collision probability ~2^-128, so grouping on it is exact dedup
+    without ever shuffling text bytes."""
+    import hashlib
+
+    n = batch.num_rows
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    for i, t in enumerate(batch["text"].to_pylist()):
+        d = hashlib.blake2b(t.encode(), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return batch.append_column(
+        "h1", pa.array(h1.view(np.int64))
+    ).append_column("h2", pa.array(h2.view(np.int64)))
+
+
 def exact_dedup(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Per distinct text: surviving (minimum) doc_id + copy count."""
-    g = docs_ds.groupby("text").aggregate(Min("doc_id"), Count())
+    """Per distinct text: surviving (minimum) doc_id + copy count.
+
+    Groups on the 128-bit content hash, not the text itself: the shuffle
+    exchanges (h1, h2, doc_id) rows — 24 bytes per doc regardless of
+    document size — instead of moving the corpus bytes as group keys."""
+    hashed = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _text_hash_cols, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
+    )
+    g = hashed.groupby(["h1", "h2"]).aggregate(Min("doc_id"), Count())
     return g.map_batches(
         lambda b: pa.table(
             {

@@ -71,7 +71,12 @@ def quality_lang_gate(
 
 
 def exact_survivors(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, text) with the minimum doc_id per distinct text."""
+    """(doc_id, text) with the minimum doc_id per distinct text.
+
+    Groups on the text itself because the survivors' TEXT must come out of
+    the shuffle anyway (the near-dup stage consumes it) — unlike
+    ``dedup.exact_dedup``, which groups on a 128-bit content hash and never
+    moves text bytes when only ids/counts are needed."""
     g = docs_ds.groupby("text").aggregate(Min("doc_id"))
     return g.map_batches(
         lambda b: pa.table({"doc_id": b["min(doc_id)"], "text": b["text"]}),
