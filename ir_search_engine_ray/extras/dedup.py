@@ -76,6 +76,30 @@ def exact_dedup(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def exact_dedup_normalized(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Whitespace/punctuation-insensitive exact dedup: groups on the
+    order-sensitive token-stream fingerprint (textstats.doc_fingerprint),
+    so "Hello,  world!" and "hello world" collapse while genuinely
+    different token streams never do (modulo the 61-bit rolling hash).
+    Same shuffle shape as :func:`exact_dedup`: only (fingerprint, doc_id)
+    rows move."""
+    from .textstats import doc_fingerprint
+
+    fp = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_fingerprint, batch_format="pyarrow"
+    )
+    g = fp.groupby("fingerprint").aggregate(Min("doc_id"), Count())
+    return g.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["min(doc_id)"],
+                "n_copies": b["count()"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _POLY_B = np.uint64(1099511628211)  # FNV prime; uint64 wraparound is the mix
 
 

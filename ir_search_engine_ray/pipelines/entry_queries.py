@@ -248,6 +248,10 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return dedup.exact_dedup(_docs_ds(sf_dir))
 
 
+def q_dedup_exact_normalized(sf_dir: str) -> ray.data.Dataset:
+    return dedup.exact_dedup_normalized(_docs_ds(sf_dir))
+
+
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir).map_batches(
         textstats.token_count, batch_format="pyarrow"
@@ -504,6 +508,21 @@ _SQL_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
 )
 
+# the rolling token-stream fingerprint (textstats.doc_fingerprint), exact:
+# char polynomial per token (&2^32-1), token polynomial per doc (mod 2^61-1)
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       CASE WHEN len(ts) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(ts, t ->
+             list_reduce(list_transform(string_split(t, ''),
+                                        c -> ascii(c)::BIGINT),
+                         (a, b) -> (a * 31 + b) & 4294967295)::HUGEINT),
+           (a, b) -> (a * 1000003 + b) % 2305843009213693951)::BIGINT
+       END AS fingerprint
+FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)
+"""
+
 
 def _sql_simhash_pairs(max_hamming: int) -> str:
     """Exact all-pairs SimHash oracle: mirrors ``dedup._token_hashes64``
@@ -672,17 +691,11 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS n_pieces
 FROM documents
 """,
-        "doc_fingerprint": f"""
-SELECT doc_id,
-       CASE WHEN len(ts) = 0 THEN 0 ELSE
-         list_reduce(
-           list_transform(ts, t ->
-             list_reduce(list_transform(string_split(t, ''),
-                                        c -> ascii(c)::BIGINT),
-                         (a, b) -> (a * 31 + b) & 4294967295)::HUGEINT),
-           (a, b) -> (a * 1000003 + b) % 2305843009213693951)::BIGINT
-       END AS fingerprint
-FROM (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents)
+        "doc_fingerprint": _SQL_FINGERPRINT,
+        "dedup_exact_normalized": f"""
+WITH fp AS ({_SQL_FINGERPRINT})
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM fp GROUP BY fingerprint
 """,
         "index_stats_full": f"""
 SELECT count(*)::BIGINT AS n_docs
@@ -854,6 +867,7 @@ def build_queries() -> dict:
         "index_stats_full": q_index_stats_full,
         "index_stats_full_detail": q_index_stats_full_detail,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_signals": q_quality_signals,

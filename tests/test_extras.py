@@ -651,3 +651,20 @@ class TestSessionizeSplit:
             ray.data.from_arrow(t), gap_us=60 * us, split_us=100 * us
         ).to_pandas()
         assert len(out) == 1 and out["n_events"][0] == 2
+
+
+class TestNormalizedDedup:
+    def test_punctuation_variants_collapse(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(
+            [
+                (0, "Hello,  world!"),
+                (1, "hello world"),
+                (2, "world hello"),  # order differs -> distinct
+                (3, "hello world."),
+            ]
+        )
+        out = dedup.exact_dedup_normalized(docs).to_pandas()
+        surv = dict(zip(out["doc_id"], out["n_copies"]))
+        assert surv == {0: 3, 2: 1}

@@ -62,6 +62,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
     "name",
     [
         "token_count_bpe",
+        "dedup_exact_normalized",
         "doc_fingerprint",
         "minhash_pairs",
         "simhash_pairs",

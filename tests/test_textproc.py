@@ -229,3 +229,24 @@ class TestNormalizerHook:
         # defaults unchanged: full -> Porter, full_nostem -> identity
         assert TokenPipeline("full")("jumps") == ["jump"]
         assert TokenPipeline("full_nostem")("jumps") == ["jumps"]
+
+
+class TestPorterProperties:
+    def test_porter_total_and_idempotent_on_random_words(self):
+        """Porter must terminate, return a non-empty lowercase stem for any
+        lowercase alpha token, and never lengthen the word."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.textproc.porter import porter_stem
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                       max_size=24))
+        def check(word):
+            s = porter_stem(word)
+            assert s
+            assert s == s.lower()
+            assert len(s) <= len(word)
+
+        check()
