@@ -108,6 +108,34 @@ def _cmd_ingest_docs(args) -> None:
     print(json.dumps({"out": out, "n_docs": n}))
 
 
+def _cmd_dedup(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras import dedup
+
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    if args.method == "exact":
+        out = dedup.exact_dedup(docs)
+    elif args.method == "exact-normalized":
+        out = dedup.exact_dedup_normalized(docs)
+    elif args.method == "minhash":
+        pairs = dedup.minhash_lsh_pairs(docs)
+        out = dedup.verify_jaccard(pairs, docs, threshold=args.threshold)
+    elif args.method == "simhash":
+        out = dedup.simhash_candidate_pairs(docs, max_hamming=args.max_hamming)
+    else:  # clusters
+        pairs = dedup.verify_jaccard(
+            dedup.minhash_lsh_pairs(docs), docs, threshold=args.threshold
+        )
+        out = dedup.connected_components(pairs)
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_table(args.out).num_rows
+    print(json.dumps({"method": args.method, "out": args.out, "n_rows": n_rows}))
+
+
 def _cmd_curate(args) -> None:
     import ray.data
 
@@ -191,6 +219,23 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("out")
     g.add_argument("--glob", default="*")
     g.set_defaults(fn=_cmd_ingest_docs)
+
+    d = sub.add_parser(
+        "dedup",
+        help="documents parquet -> dedup output "
+        "(survivors, near-dup pairs, or duplicate clusters)",
+    )
+    d.add_argument("documents")
+    d.add_argument("out")
+    d.add_argument(
+        "--method",
+        default="exact",
+        choices=("exact", "exact-normalized", "minhash", "simhash", "clusters"),
+    )
+    d.add_argument("--threshold", type=float, default=0.5,
+                   help="Jaccard threshold (minhash/clusters)")
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.set_defaults(fn=_cmd_dedup)
 
     c = sub.add_parser(
         "curate",
