@@ -600,3 +600,32 @@ class TestDistributedDfCombine:
         base = QueryEngine(built, QueryConfig(num_actors=2))
         for qt in ("flow mach wing", "pressure boundary layer"):
             assert eng.query(qt) == base.query(qt)
+
+
+class TestSaltInvariance:
+    def test_salt_buckets_do_not_change_results(
+        self, ray_session, built, corpus, tmp_path
+    ):
+        """salt_buckets is a layout/parallelism knob: different values must
+        yield identical posting lists and identical query results."""
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        meta4 = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "s4",
+            IndexConfig(salt_buckets=4),
+            concurrency=2,
+        )
+        assert meta4.salt_buckets != built.salt_buckets
+        assert _engine_postings(meta4.out_dir) == _engine_postings(built.out_dir)
+        e4 = QueryEngine(meta4, QueryConfig(num_actors=2))
+        e_base = QueryEngine(built, QueryConfig(num_actors=2))
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries[:8]:
+            for scheme in ("w2", "w1"):
+                assert e4.query(qt, scheme) == e_base.query(qt, scheme), (
+                    qt,
+                    scheme,
+                )
