@@ -178,20 +178,38 @@ def q_topk_w2_simple(sf_dir: str) -> pa.Table:
 def q_topk_w2_snippet(sf_dir: str) -> pa.Table:
     """Top-k joined with a 60-char headline from the source turn — the
     reference's result formatting (rank, name, score, headline;
-    ``search/Driver.java:88-105``, M10/J3/S10)."""
+    ``search/Driver.java:88-105``, M10/J3/S10).
+
+    The headline lookup reads ONLY the result docs' conversations
+    (predicate-pushdown parquet read on conv_id), never the corpus: a
+    top-k result set is a few hundred rows regardless of corpus size."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    from ..stages.docids import doc_ids_to_keys
+
     top = topk_table(sf_dir, "simple", "w2")
     path = _transcripts_path(sf_dir)
-    t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
-    offsets, _total = conversation_offsets(
+    offsets, total = conversation_offsets(
         read_transcripts(path, columns=["conv_id", "turn_idx"])
     )
-    bases = np.array([offsets[c] for c in t["conv_id"].to_pylist()], np.int64)
-    doc_ids = bases + t["turn_idx"].to_numpy().astype(np.int64)
-    by_doc = dict(zip(doc_ids.tolist(), t["text"].to_pylist()))
-    headline = [by_doc[d][:60] for d in top["doc_id"].to_pylist()]
+    doc_arr = np.array(top["doc_id"].to_pylist(), dtype=np.int64)
+    convs, turns = doc_ids_to_keys(doc_arr, offsets, total)
+    need = sorted(set(convs))
+    t = pq.read_table(
+        path,
+        columns=["conv_id", "turn_idx", "text"],
+        filters=[("conv_id", "in", need)],
+    )
+    by_key = dict(
+        zip(
+            zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()),
+            t["text"].to_pylist(),
+        )
+    )
+    headline = [
+        by_key[(c, int(tr))][:60] for c, tr in zip(convs, turns)
+    ]
     return top.append_column("headline", pa.array(headline, type=pa.string()))
 
 
