@@ -332,13 +332,22 @@ def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    """One query vector via predicate-pushdown parquet read — not a
+    row-filter scan of the corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    return np.array(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    q_vec = np.array(
-        emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
-        dtype=np.float64,
-    )
-    return ann.cosine_topk(emb, q_vec, k=10, exclude=0)
+    return ann.cosine_topk(emb, _query_vec(sf_dir, 0), k=10, exclude=0)
 
 
 def q_event_windows(sf_dir: str) -> ray.data.Dataset:
@@ -377,11 +386,9 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     IVF machinery (sampled k-means, cluster assignment, probe filtering)
     driver-checkable against the exact SQL oracle."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    q_vec = np.array(
-        emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"],
-        dtype=np.float64,
+    return ann.ivf_topk(
+        emb, _query_vec(sf_dir, 0), k=10, nlist=16, nprobe=16, exclude=0
     )
-    return ann.ivf_topk(emb, q_vec, k=10, nlist=16, nprobe=16, exclude=0)
 
 
 def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
