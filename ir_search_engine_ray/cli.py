@@ -185,7 +185,8 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--mode", default="full",
                    choices=("full", "full_nostem", "simple"))
     b.add_argument("--salt-buckets", type=int, default=32)
-    b.add_argument("--batch-size", type=int, default=32768)
+    b.add_argument("--batch-size", type=int, default=None,
+                   help="tokenize batch size; default auto (n/64 clamped)")
     b.set_defaults(fn=_cmd_build)
 
     def query_args(q):

@@ -21,7 +21,11 @@ class IndexConfig:
     # term's posting list by contiguous doc-id range; the ranges double as
     # the doc-partitioned query shards (see stages/merge.py)
     salt_buckets: int = 8
-    tokenize_batch_size: int = 32768
+    # None = auto: n_turns/64 clamped to [8192, 32768] — data-derived (so
+    # batch boundaries and block file names are identical at every
+    # parallelism level) while small inputs still fan out wide enough to
+    # fill a machine.  An explicit value pins it.
+    tokenize_batch_size: int | None = None
     # df table partitioning: rows per term-sorted df parquet part.  Serving
     # actors stream only the parts overlapping their local lexicon instead
     # of receiving a whole-vocabulary broadcast dict (stages/norms.py).

@@ -238,7 +238,10 @@ def build_index(
         # depend on the parallelism level; batch_size=None keeps
         # batch == block, avoiding a re-bundling barrier between the read
         # and the fused tokenize
-        n_batches = max(1, -(-N // config.tokenize_batch_size))
+        batch_size = config.tokenize_batch_size or min(
+            32768, max(8192, -(-N // 64))
+        )
+        n_batches = max(1, -(-N // batch_size))
         ds = read_transcripts(paths, override_num_blocks=n_batches)
         offsets_ref = ray.put((conv_arr, base_arr))
         manifest = (
