@@ -175,6 +175,45 @@ def _cmd_export(args) -> None:
     print(json.dumps(export_legacy_index(meta, args.out, args.format)))
 
 
+def _cmd_stats(args) -> None:
+    """Index inspection (the reference's stats.md surface): collection
+    stats, optionally one term's df/tf and coded size."""
+    from .functions.codec import decode_postings
+    from .pipelines.index_build import IndexMeta
+
+    meta = IndexMeta.load(args.index_dir)
+    out = {
+        "N": meta.N,
+        "n_terms": meta.n_terms,
+        "n_postings": meta.n_postings,
+        "avg_doc_len": meta.avg_doc_len,
+        "total_doc_len": meta.total_doc_len,
+        "salt_buckets": meta.salt_buckets,
+        "mode": meta.mode,
+    }
+    if args.term:
+        import pyarrow.parquet as pq
+
+        df = tf = coded = 0
+        for f in meta.shard_files():
+            t = pq.read_table(f)
+            for term, idb, tfb in zip(
+                t["term"].to_pylist(),
+                t["id_bytes"].to_pylist(),
+                t["tf_bytes"].to_pylist(),
+            ):
+                if term == args.term:
+                    ids, tfs = decode_postings(idb, tfb)
+                    df += len(ids)
+                    tf += int(tfs.sum())
+                    coded += len(idb) + len(tfb)
+        out["term"] = {
+            "term": args.term, "df": df, "tf": tf, "coded_bytes": coded,
+            "uncoded_bytes": 16 * df,
+        }
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="ir_search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +290,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--jaccard", type=float, default=0.5,
                    help="near-dup drop threshold")
     c.set_defaults(fn=_cmd_curate)
+
+    st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
+    st.add_argument("index_dir")
+    st.add_argument("--term", default=None,
+                    help="probe one term: df, total tf, coded size")
+    st.set_defaults(fn=_cmd_stats)
 
     e = sub.add_parser("export", help="export legacy reference index formats")
     e.add_argument("index_dir")
