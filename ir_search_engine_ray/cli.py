@@ -69,6 +69,33 @@ def _engine(args):
     return QueryEngine(meta, cfg)
 
 
+def _headlines(eng, rows: list[dict]) -> None:
+    """Annotate result rows with a 60-char headline from the source turn —
+    the reference Driver's result formatting (rank, name, score, headline;
+    ``search/Driver.java:88-105``).  Reads ONLY the result conversations
+    from the index's recorded input lineage (predicate pushdown)."""
+    import pyarrow.parquet as pq
+
+    stats = json.loads((eng.meta.out_dir / "stats.json").read_text())
+    paths = [ln["path"] for ln in stats["lineage"]]
+    need = sorted({r["conv_id"] for r in rows})
+    if not need:
+        return
+    t = pq.read_table(
+        paths,
+        columns=["conv_id", "turn_idx", "text"],
+        filters=[("conv_id", "in", need)],
+    )
+    by_key = dict(
+        zip(
+            zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()),
+            t["text"].to_pylist(),
+        )
+    )
+    for r in rows:
+        r["headline"] = by_key[(r["conv_id"], r["turn_idx"])][:60]
+
+
 def _cmd_query(args) -> None:
     _ensure_ray()
     eng = _engine(args)
@@ -77,6 +104,8 @@ def _cmd_query(args) -> None:
         if args.explain
         else eng.query(args.text, args.scheme, args.k, args.algorithm)
     )
+    if args.snippet:
+        _headlines(eng, rows)
     for r in rows:
         print(json.dumps(r))
 
@@ -92,7 +121,11 @@ def _cmd_batch_query(args) -> None:
         t["query_id"].to_pylist() if "query_id" in t.schema.names
         else list(range(len(texts)))
     )
-    for qid, results in zip(qids, eng.query_many(texts)):
+    all_results = eng.query_many(texts)
+    if args.snippet:
+        flat = [r for rows in all_results for r in rows]
+        _headlines(eng, flat)
+    for qid, results in zip(qids, all_results):
         for r in results:
             print(json.dumps({"query_id": qid, **r}))
 
@@ -238,6 +271,8 @@ def main(argv: list[str] | None = None) -> None:
             default="block_max_wand",
             choices=("exhaustive", "maxscore", "block_max_wand"),
         )
+        q.add_argument("--snippet", action="store_true",
+                       help="add a 60-char headline from the source turn")
 
     q = sub.add_parser("query", help="one query -> top-k JSON lines")
     query_args(q)
