@@ -59,6 +59,21 @@ def _queries_path(sf_dir: str) -> str:
 
 _PIPES: dict[str, TokenPipeline] = {}
 
+_OFFSETS_MEMO: dict[str, tuple[dict, int]] = {}
+
+
+def _fixture_offsets(sf_dir: str) -> tuple[dict, int]:
+    """Conversation offsets of a fixture, computed once per process — the
+    driver runs dozens of queries over the same fixture and most IR-core
+    entries need the same (offsets, N)."""
+    path = _transcripts_path(sf_dir)
+    got = _OFFSETS_MEMO.get(path)
+    if got is None:
+        got = _OFFSETS_MEMO[path] = conversation_offsets(
+            read_transcripts(path, columns=["conv_id", "turn_idx"])
+        )
+    return got
+
 
 def _tokenize_batch_simple(batch: pa.Table) -> pa.Table:
     """Function-form tokenizer (simple mode) — module-global pipe per worker
@@ -84,9 +99,7 @@ def simple_triples(sf_dir: str) -> ray.data.Dataset:
     """(term, doc_id, tf) triples of the fixture corpus, simple mode."""
     path = _transcripts_path(sf_dir)
     ds = read_transcripts(path)
-    offsets, _n = conversation_offsets(
-        read_transcripts(path, columns=["conv_id", "turn_idx"])
-    )
+    offsets, _n = _fixture_offsets(sf_dir)
     return ds.map_batches(
         assign_doc_ids,
         fn_kwargs={"offsets_ref": ray.put(offsets)},
@@ -127,10 +140,7 @@ def topk_table(sf_dir: str, mode: str, scheme: str, k: int = 10) -> pa.Table:
 
 
 def q_docmap(sf_dir: str) -> pa.Table:
-    path = _transcripts_path(sf_dir)
-    offsets, total = conversation_offsets(
-        read_transcripts(path, columns=["conv_id", "turn_idx"])
-    )
+    offsets, total = _fixture_offsets(sf_dir)
     return docmap_table(offsets, total)
 
 
@@ -153,11 +163,7 @@ def q_collection_stats_simple(sf_dir: str) -> pa.Table:
     n_postings = tri.count()
     n_terms = tri.select_columns(["term"]).unique("term")
     total_len = tri.sum("tf")
-    _offsets, n_docs = conversation_offsets(
-        read_transcripts(
-            _transcripts_path(sf_dir), columns=["conv_id", "turn_idx"]
-        )
-    )
+    _offsets, n_docs = _fixture_offsets(sf_dir)
     return pa.table(
         {
             "n_docs": pa.array([n_docs], type=pa.int64()),
@@ -190,9 +196,7 @@ def q_topk_w2_snippet(sf_dir: str) -> pa.Table:
 
     top = topk_table(sf_dir, "simple", "w2")
     path = _transcripts_path(sf_dir)
-    offsets, total = conversation_offsets(
-        read_transcripts(path, columns=["conv_id", "turn_idx"])
-    )
+    offsets, total = _fixture_offsets(sf_dir)
     doc_arr = np.array(top["doc_id"].to_pylist(), dtype=np.int64)
     convs, turns = doc_ids_to_keys(doc_arr, offsets, total)
     need = sorted(set(convs))
