@@ -1,0 +1,139 @@
+"""Deterministic dataset splitting + corpus accounting.
+
+Training pipelines need reproducible, machine-independent hold-out
+assignment: ``assign_splits`` maps each doc_id through the same
+splitmix-style 64-bit mixer the SimHash oracle uses (pure modular
+arithmetic — the DuckDB oracle reproduces it bit for bit) and buckets the
+hash into weighted splits.  Properties:
+
+- deterministic across runs, partitionings and cluster sizes (pure
+  function of doc_id and seed);
+- stable under corpus growth: adding documents never reassigns existing
+  ones (each doc's split depends only on its own id);
+- a pure per-batch ``map_batches`` — no shuffle, no state.
+
+``corpus_stats`` is the one-row accounting rollup (docs / tokens / BPE-ish
+pieces) a curation run reports — per-batch combiners, vocabulary-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dedup import _SM_ADD, _SM_MUL1, _SM_MUL2
+from .textstats import _BPE_ISH, _tokens
+
+DEFAULT_SPLITS = (("train", 98), ("val", 1), ("test", 1))
+
+
+def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """The SQL-mirrorable splitmix-style mixer over uint64 ids."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(seed)
+        z = z + _SM_ADD
+        z ^= z >> np.uint64(30)
+        z = z * _SM_MUL1
+        z ^= z >> np.uint64(27)
+        z = z * _SM_MUL2
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def assign_splits(
+    docs_ds: ray.data.Dataset,
+    *,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Add a ``split`` column: weighted deterministic assignment by
+    hashed id.  Weights are integral per-mille-style shares; a doc lands
+    in the split whose cumulative weight range contains
+    ``mix64(id) % total_weight``."""
+    names = [n for n, _w in splits]
+    weights = np.array([w for _n, w in splits], dtype=np.uint64)
+    if (weights <= 0).any():
+        raise ValueError("split weights must be positive")
+    bounds = np.cumsum(weights)
+    total = np.uint64(bounds[-1])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        bucket = _mix64(ids, seed) % total
+        idx = np.searchsorted(bounds, bucket, side="right")
+        col = pa.array(np.array(names, dtype=object)[idx], type=pa.string())
+        return batch.append_column("split", col)
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow")
+
+
+def split_counts(
+    docs_ds: ray.data.Dataset,
+    *,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per split: doc count + token count (the hold-out accounting)."""
+    from ray.data.aggregate import Count, Sum
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        n = [len(_tokens(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "split": batch["split"],
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    tagged = assign_splits(
+        docs_ds, splits=splits, seed=seed, id_col=id_col
+    ).map_batches(with_tokens, batch_format="pyarrow")
+    g = tagged.groupby("split").aggregate(Count(), Sum("n_tokens"))
+    return g.map_batches(
+        lambda b: pa.table(
+            {
+                "split": b["split"],
+                "n_docs": b["count()"].cast(pa.int64()),
+                "n_tokens": b["sum(n_tokens)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def corpus_stats(docs_ds: ray.data.Dataset) -> pa.Table:
+    """One-row corpus accounting: docs, [a-z]+ tokens, BPE-ish pieces.
+
+    Per-batch integer partials -> one tiny driver sum (no shuffle)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = sum(len(_tokens(t)) for t in texts)
+        pieces = sum(
+            sum(1 for m in _BPE_ISH.findall(t) if not m.isspace())
+            for t in texts
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+                "n_tokens": pa.array([toks], type=pa.int64()),
+                "n_pieces": pa.array([pieces], type=pa.int64()),
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_docs": pa.array(
+                [sum(r["n_docs"] for r in parts)], type=pa.int64()
+            ),
+            "n_tokens": pa.array(
+                [sum(r["n_tokens"] for r in parts)], type=pa.int64()
+            ),
+            "n_pieces": pa.array(
+                [sum(r["n_pieces"] for r in parts)], type=pa.int64()
+            ),
+        }
+    )

@@ -35,7 +35,7 @@ from ray.data.aggregate import Count, Max, Sum
 
 from ..config import IndexConfig, QueryConfig
 from ..datagen import fixture_dir
-from ..extras import ann, dedup, textstats, windows
+from ..extras import ann, dedup, splits, textstats, windows
 from ..sources.transcripts import read_transcripts
 from ..stages.docids import assign_doc_ids, conversation_offsets, docmap_table
 from ..textproc import TokenPipeline
@@ -405,6 +405,14 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
 
 
+def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
+    return splits.split_counts(_docs_ds(sf_dir))
+
+
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    return splits.corpus_stats(_docs_ds(sf_dir))
+
+
 def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Near-dup pairs -> transitive duplicate clusters (min-id label)."""
     docs = _docs_ds(sf_dir)
@@ -681,6 +689,37 @@ FROM kept
 """
 
 
+def _sql_dataset_split(seed: int = 7) -> str:
+    """Mirror of extras/splits.py: splitmix-mixed doc_id mod total weight,
+    bucketed by cumulative split weights (98/1/1)."""
+    from ..extras.dedup import _SM_ADD, _SM_MUL1, _SM_MUL2
+
+    m = "18446744073709551616"
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, text,
+         (doc_id::HUGEINT + {seed} + {int(_SM_ADD)}) % {m} AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, text, xor(z, z >> 30) AS z FROM h0),
+s3 AS (SELECT doc_id, text, (z * {int(_SM_MUL1)}) % {m} AS z FROM s2),
+s4 AS (SELECT doc_id, text, xor(z, z >> 27) AS z FROM s3),
+s5 AS (SELECT doc_id, text, (z * {int(_SM_MUL2)}) % {m} AS z FROM s4),
+b AS (
+  SELECT doc_id, text, xor(z, z >> 31) % 100 AS bucket FROM s5
+),
+tagged AS (
+  SELECT CASE WHEN bucket < 98 THEN 'train'
+              WHEN bucket < 99 THEN 'val'
+              ELSE 'test' END AS split,
+         len({_SQL_TOKS}) AS n_tokens
+  FROM b
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM tagged GROUP BY 1
+"""
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     fx = str(fixture_dir(sf_dir))
     stop = STOPWORDS_SQL_LIST
@@ -733,6 +772,14 @@ FROM read_parquet('{fx}/transcripts/*.parquet')
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "curated_docs": _sql_curated_docs(),
+        "dataset_split": _sql_dataset_split(),
+        "corpus_stats": f"""
+SELECT count(*)::BIGINT AS n_docs,
+       sum(len({_SQL_TOKS}))::BIGINT AS n_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')))::BIGINT
+         AS n_pieces
+FROM documents
+""",
         "dedup_clusters": f"""
 WITH RECURSIVE {_sql_jaccard_ctes("documents")},
 good AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
@@ -913,4 +960,6 @@ def build_queries() -> dict:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "curated_docs": q_curated_docs,
+        "dataset_split": q_dataset_split,
+        "corpus_stats": q_corpus_stats,
     }

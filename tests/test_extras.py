@@ -668,3 +668,50 @@ class TestNormalizedDedup:
         out = dedup.exact_dedup_normalized(docs).to_pandas()
         surv = dict(zip(out["doc_id"], out["n_copies"]))
         assert surv == {0: 3, 2: 1}
+
+
+class TestSplits:
+    def test_assignment_stable_under_growth(self, ray_session):
+        """Adding documents never reassigns existing ones, and the split
+        distribution roughly follows the weights."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import splits
+
+        def tagged(n):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(["x"] * n),
+                }
+            )
+            out = splits.assign_splits(ray.data.from_arrow(t)).to_pandas()
+            return dict(zip(out["doc_id"], out["split"]))
+
+        small, big = tagged(500), tagged(2000)
+        assert all(big[d] == s for d, s in small.items())
+        from collections import Counter
+
+        dist = Counter(big.values())
+        assert 0.95 <= dist["train"] / 2000 <= 0.995
+        assert dist["val"] > 0 and dist["test"] > 0
+
+    def test_custom_weights_and_validation(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import splits
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                "text": pa.array(["x"] * 100),
+            }
+        )
+        out = splits.assign_splits(
+            ray.data.from_arrow(t), splits=(("a", 1), ("b", 1))
+        ).to_pandas()
+        assert set(out["split"]) == {"a", "b"}
+        with pytest.raises(ValueError):
+            splits.assign_splits(
+                ray.data.from_arrow(t), splits=(("a", 0),)
+            ).to_pandas()

@@ -62,6 +62,8 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
     "name",
     [
         "token_count_bpe",
+        "dataset_split",
+        "corpus_stats",
         "dedup_exact_normalized",
         "doc_fingerprint",
         "minhash_pairs",
