@@ -99,11 +99,12 @@ def _headlines(eng, rows: list[dict]) -> None:
 def _cmd_query(args) -> None:
     _ensure_ray()
     eng = _engine(args)
-    rows = (
-        eng.explain(args.text, args.scheme, args.k)
-        if args.explain
-        else eng.query(args.text, args.scheme, args.k, args.algorithm)
-    )
+    if args.phrase:
+        rows = eng.phrase_query(args.text, args.scheme, args.k)
+    elif args.explain:
+        rows = eng.explain(args.text, args.scheme, args.k)
+    else:
+        rows = eng.query(args.text, args.scheme, args.k, args.algorithm)
     if args.snippet:
         _headlines(eng, rows)
     for r in rows:
@@ -279,6 +280,8 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("text")
     q.add_argument("--explain", action="store_true",
                    help="include per-term score contributions")
+    q.add_argument("--phrase", action="store_true",
+                   help="match the text as a contiguous normalized phrase")
     q.set_defaults(fn=_cmd_query)
 
     bq = sub.add_parser("batch-query", help="parquet query set -> JSON lines")

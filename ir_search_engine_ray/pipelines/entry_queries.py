@@ -229,6 +229,62 @@ def q_topk_w1_full(sf_dir: str) -> pa.Table:
     return topk_table(sf_dir, "full", "w1")
 
 
+_PHRASE_MEMO: dict[str, list[str]] = {}
+
+# (source doc index among qualifying docs, phrase length): a mix of 2- and
+# 3-term phrases from spread-out docs so the driver check exercises several
+# candidate-set sizes
+_PHRASE_SPECS = ((0, 3), (10, 2), (50, 2), (200, 3))
+
+
+def _pick_phrases(sf_dir: str) -> list[str]:
+    """Deterministic fixture phrases: the i-th qualifying doc (in doc_id
+    order, >= len+2 simple-mode terms) contributes terms [2:2+len]."""
+    got = _PHRASE_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pipe = _PIPES.setdefault("simple", TokenPipeline("simple"))
+    max_n = max(n for _i, n in _PHRASE_SPECS)
+    qualifying: list[list[str]] = []
+    need_rank = max(i for i, _n in _PHRASE_SPECS)
+    for text in t["text"].to_pylist():
+        toks = pipe(text)
+        if len(toks) >= max_n + 2:
+            qualifying.append(toks)
+            if len(qualifying) > need_rank:
+                break
+    phrases = [
+        " ".join(qualifying[i][2 : 2 + n]) for i, n in _PHRASE_SPECS
+    ]
+    _PHRASE_MEMO[sf_dir] = phrases
+    return phrases
+
+
+def q_phrase_simple(sf_dir: str) -> pa.Table:
+    """Phrase search (contiguous normalized-term run), simple mode: per
+    phrase, top-10 by the same w2 cosine over the phrase's bag of words."""
+    meta = cached_index(sf_dir, "simple")
+    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10))
+    pids, docs, scores = [], [], []
+    for pid, phrase in enumerate(_pick_phrases(sf_dir)):
+        for r in eng.phrase_query(phrase, "w2", 10):
+            pids.append(pid)
+            docs.append(r["doc_id"])
+            scores.append(round(r["score"], 6))
+    return pa.table(
+        {
+            "phrase_id": pa.array(pids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def q_index_stats_full(sf_dir: str) -> pa.Table:
     """Full-mode index doc count — the SQL-checkable slice of the stats.
 
@@ -465,17 +521,86 @@ stats AS (
 )"""
 
 
+def _sql_phrase_simple(fx: str, phrase: str, k: int = 10) -> str:
+    """Oracle for phrase search (simple mode): the bag-of-words w2 scoring
+    of `_sql_topk` restricted to docs whose stopword-filtered token stream
+    contains the phrase as a CONTIGUOUS run — exactly
+    ``QueryEngine.phrase_query`` semantics."""
+    terms = phrase.split()
+    n = len(terms)
+    window = " || ' ' || ".join(f"fts[i+{j}]" for j in range(n))
+    stop = STOPWORDS_SQL_LIST
+    return f"""
+WITH {_sql_tokens_cte(fx)},
+pts AS (
+  SELECT doc_id,
+         list_filter(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> ''),
+           x -> x NOT IN {stop}) AS fts
+  FROM docs
+),
+ph AS (
+  SELECT doc_id FROM pts
+  WHERE len(fts) >= {n}
+    AND list_contains(
+          list_transform(range(1, len(fts) - {n - 2}), i -> {window}),
+          '{phrase}')
+),
+w AS (
+  SELECT tf.term, tf.doc_id, {_SQL_W2_EXPR} AS wd
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+),
+norms AS (SELECT doc_id, sqrt(sum(wd * wd)) AS nrm FROM w GROUP BY 1),
+qraw AS (
+  SELECT unnest(regexp_split_to_array(lower('{phrase}'), '[^a-z]+')) AS term
+),
+qtf AS (
+  SELECT term, count(*) AS tf FROM qraw
+  WHERE term <> '' AND term NOT IN {stop} GROUP BY 1
+),
+qmax AS (SELECT max(tf) AS max_tf FROM qtf),
+qw AS (
+  SELECT q.term,
+         CASE WHEN df.df IS NULL THEN 0.0
+              ELSE (0.4 + 0.6 * ln(q.tf + 0.5) / ln(qm.max_tf + 1.0))
+                   * ln(s.N // df.df) / ln(s.N)
+         END AS wq
+  FROM qtf q LEFT JOIN df ON q.term = df.term, qmax qm, stats s
+),
+qnorm AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+dots AS (
+  SELECT w.doc_id, sum(w.wd * q.wq) AS dot
+  FROM qw q JOIN w ON q.term = w.term
+  WHERE w.doc_id IN (SELECT doc_id FROM ph)
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.dot / n.nrm / qn.qn AS score
+  FROM dots d JOIN norms n USING (doc_id), qnorm qn
+  WHERE d.dot > 0
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+# the canonical doc-side weight expressions (shared by every scoring
+# oracle — the parenthesization IS the semantics)
+_SQL_W2_EXPR = (
+    "0.4 + 0.6 * (tf.tf / (tf.tf + 0.5 + 1.5 * (dl.doc_len / s.avgdl)))"
+    " * ln(s.N // df.df) / ln(s.N)"
+)
+_SQL_W1_EXPR = (
+    "(0.4 + 0.6 * ln(tf.tf + 0.5) / ln(dl.max_tf + 1.0))"
+    " * ln(s.N // df.df) / ln(s.N)"
+)
+
+
 def _sql_topk(fx: str, scheme: str, snippet: bool = False) -> str:
-    if scheme == "w2":
-        w_expr = (
-            "0.4 + 0.6 * (tf.tf / (tf.tf + 0.5 + 1.5 * (dl.doc_len / s.avgdl)))"
-            " * ln(s.N // df.df) / ln(s.N)"
-        )
-    else:
-        w_expr = (
-            "(0.4 + 0.6 * ln(tf.tf + 0.5) / ln(dl.max_tf + 1.0))"
-            " * ln(s.N // df.df) / ln(s.N)"
-        )
+    w_expr = _SQL_W2_EXPR if scheme == "w2" else _SQL_W1_EXPR
     return f"""
 WITH {_sql_tokens_cte(fx)},
 w AS (
@@ -744,6 +869,12 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
         "topk_w2_simple": _sql_topk(fx, "w2"),
         "topk_w1_simple": _sql_topk(fx, "w1"),
         "topk_w2_snippet": _sql_topk(fx, "w2", snippet=True),
+        "phrase_simple": "\nUNION ALL\n".join(
+            f"SELECT {pid}::BIGINT AS phrase_id, doc_id, score FROM ("
+            + _sql_phrase_simple(fx, phrase)
+            + ")"
+            for pid, phrase in enumerate(_pick_phrases(sf_dir))
+        ),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
@@ -938,6 +1069,7 @@ def build_queries() -> dict:
         "topk_w2_simple": q_topk_w2_simple,
         "topk_w1_simple": q_topk_w1_simple,
         "topk_w2_snippet": q_topk_w2_snippet,
+        "phrase_simple": q_phrase_simple,
         "topk_w2_full": q_topk_w2_full,
         "topk_w1_full": q_topk_w1_full,
         "index_stats_full": q_index_stats_full,

@@ -56,6 +56,9 @@ from .index_build import IndexMeta
 
 WINDOW = 4096  # docs per block-max window
 
+# per-worker-process TokenPipeline cache for the distributed phrase verify
+_PIPE_CACHE: dict[str, TokenPipeline] = {}
+
 
 @dataclass
 class _TermData:
@@ -258,6 +261,25 @@ class ShardState:
         out.sort(key=lambda t: (-t[1], t[0]))
         return out
 
+    def docs_with_all(self, terms: list[str]) -> list[int]:
+        """Local doc_ids containing EVERY term (AND semantics) — the
+        phrase-candidate generator.  A doc's postings all live in one
+        shard, so per-shard intersections concatenate into the global
+        candidate set."""
+        datas = []
+        for t in set(terms):
+            d = self.terms.get(t)
+            if d is None:
+                return []
+            datas.append(d)
+        datas.sort(key=lambda d: d.ids.size)  # start from the rarest term
+        ids = datas[0].ids
+        for d in datas[1:]:
+            ids = np.intersect1d(ids, d.ids, assume_unique=True)
+            if ids.size == 0:
+                break
+        return ids.tolist()
+
     def term_weights(
         self, terms: list[str], doc_ids: list[int], scheme: str
     ) -> np.ndarray:
@@ -308,6 +330,9 @@ class IndexShardActor:
         return [
             self.state.score(t, w, scheme, k, algorithm) for t, w in queries
         ]
+
+    def docs_with_all(self, terms):
+        return self.state.docs_with_all(terms)
 
     def term_weights(self, terms, doc_ids, scheme):
         return self.state.term_weights(terms, doc_ids, scheme)
@@ -462,6 +487,131 @@ class QueryEngine:
                 if row[qi] != 0.0 and weights[qi] != 0.0
             }
         return results
+
+    def phrase_query(
+        self,
+        text: str,
+        scheme: str | None = None,
+        k: int | None = None,
+        *,
+        max_candidates: int = 1_000_000,
+    ) -> list[dict]:
+        """Phrase search without a positional index: candidate docs are the
+        AND-intersection of the phrase terms' postings (per shard actor,
+        rarest-first), then a DISTRIBUTED verify re-tokenizes only the
+        candidate docs (read from the index's recorded input lineage,
+        pruned to candidate conversations) and checks for the terms as a
+        CONTIGUOUS run; verified docs are scored with the same normalized
+        cosine scoring as :meth:`query` and top-k ranked.
+
+        Matching is over the INDEX TERM stream — stopwords removed and (in
+        full mode) Porter applied — i.e. "boundary layers" matches
+        "boundary layer" in full mode, the standard normalized-phrase
+        semantics.  Verify cost is linear in candidates (bounded by the
+        rarest term's df), never the corpus; ``max_candidates`` guards the
+        pathological all-common-terms phrase."""
+        scheme = scheme or self.config.scheme
+        k = k or self.config.top_k
+        terms = self.pipe(text)
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        if self.local:
+            cand_parts = [s.docs_with_all(uniq) for s in self.states]
+        else:
+            cand_parts = ray.get(
+                [a.docs_with_all.remote(uniq) for a in self.actors]
+            )
+        cand = np.sort(np.concatenate([np.array(p, dtype=np.int64)
+                                       for p in cand_parts])
+                       if any(cand_parts) else np.empty(0, np.int64))
+        if cand.size == 0:
+            return []
+        if cand.size > max_candidates:
+            raise ValueError(
+                f"{cand.size} phrase candidates exceed max_candidates="
+                f"{max_candidates}; refine the phrase"
+            )
+        if len(terms) > 1:
+            cand = self._verify_phrase(cand, terms)
+            if cand.size == 0:
+                return []
+        # exact cosine scores for the verified docs (same math as query())
+        q_tfs = Counter(terms)
+        dfs = self.df_map if self.df_map is not None else self._query_dfs(q_tfs)
+        weights_map, q_norm = query_weights(dict(q_tfs), dfs, self.meta.N)
+        if q_norm == 0.0:
+            return []
+        wq = np.array([weights_map[t] for t in uniq])
+        docs = cand.tolist()
+        if self.local:
+            mats = [s.term_weights(uniq, docs, scheme) for s in self.states]
+        else:
+            mats = ray.get(
+                [a.term_weights.remote(uniq, docs, scheme) for a in self.actors]
+            )
+        wn = np.sum(mats, axis=0)  # each doc owned by exactly one shard
+        scores = (wn @ wq) / q_norm
+        keep = scores > 0.0
+        return self._finish(
+            [list(zip(cand[keep].tolist(), scores[keep].tolist()))], k, 1.0
+        )
+
+    def _source_paths(self) -> list[str]:
+        import json
+
+        stats = json.loads((self.meta.out_dir / "stats.json").read_text())
+        return [ln["path"] for ln in stats["lineage"]]
+
+    def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
+        """Distributed contiguous-run check over ONLY the candidate docs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from ..stages.docids import assign_doc_ids
+
+        pos = np.searchsorted(self._bases, cand, side="right") - 1
+        need_convs = sorted({self._convs[i] for i in pos})
+        conv_arr = pa.array(sorted(self.offsets), type=pa.string())
+        bases_np = self._bases
+        offsets_ref = ray.put((conv_arr, bases_np))
+        need_ref = ray.put(pa.array(need_convs, type=pa.string()))
+        cand_ref = ray.put(pa.array(cand))
+        mode = self.meta.mode
+        phrase = tuple(terms)
+
+        def check(batch: pa.Table) -> pa.Table:
+            needs = ray.get(need_ref)
+            batch = batch.filter(pc.is_in(batch["conv_id"], value_set=needs))
+            if batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], type=pa.int64())})
+            batch = assign_doc_ids(batch, offsets_ref=offsets_ref)
+            cands = ray.get(cand_ref)
+            batch = batch.filter(pc.is_in(batch["doc_id"], value_set=cands))
+            pipe = _PIPE_CACHE.get(mode)
+            if pipe is None:
+                pipe = _PIPE_CACHE[mode] = TokenPipeline(mode)
+            out = []
+            for doc_id, tx in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                toks = pipe(tx)
+                n = len(phrase)
+                if any(
+                    tuple(toks[i : i + n]) == phrase
+                    for i in range(len(toks) - n + 1)
+                ):
+                    out.append(doc_id)
+            return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+        ds = ray.data.read_parquet(
+            self._source_paths(), columns=["conv_id", "turn_idx", "text"]
+        ).map_batches(check, batch_format="pyarrow")
+        got = np.array(
+            [r["doc_id"] for r in ds.take_all()], dtype=np.int64
+        )
+        return np.sort(got)
 
     def query_many(
         self,

@@ -62,6 +62,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
     "name",
     [
         "token_count_bpe",
+        "phrase_simple",
         "dataset_split",
         "corpus_stats",
         "dedup_exact_normalized",

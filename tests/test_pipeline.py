@@ -629,3 +629,48 @@ class TestSaltInvariance:
                     qt,
                     scheme,
                 )
+
+
+class TestPhraseQuery:
+    def test_phrase_matches_only_contiguous(self, ray_session, tmp_path):
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.sources.transcripts import (
+            docs_dir_to_transcripts,
+        )
+
+        docs = {
+            "doc1": "alpha turbine blade resonance beta",
+            "doc2": "turbine resonance with a blade somewhere",  # words, not phrase
+            "doc3": "spinning turbine blade resonance observed",
+            "doc4": "nothing related here at all",
+        }
+        # filler keeps N/df > 1 so the reference idf quirk (ln(N//df)=0)
+        # does not zero the phrase terms on this tiny corpus
+        for i in range(8):
+            docs[f"fill{i}"] = f"unrelated filler text number {i} aero engine"
+        src = tmp_path / "corpus"
+        src.mkdir()
+        for name, text in docs.items():
+            (src / name).write_text(text)
+        out = docs_dir_to_transcripts(src, tmp_path / "transcripts")
+        meta = build_index(out, tmp_path / "idx", IndexConfig())
+        eng = QueryEngine(meta, QueryConfig(num_actors=2))
+        got = eng.phrase_query("turbine blade resonance")
+        names = {r["conv_id"] for r in got}
+        assert names == {"doc1", "doc3"}
+        # bag query (no phrase) also surfaces doc2
+        bag = {r["conv_id"] for r in eng.query("turbine blade resonance")}
+        assert "doc2" in bag
+        # full-mode normalization applies: plural form matches via Porter
+        got2 = eng.phrase_query("turbine blades resonance")
+        assert {r["conv_id"] for r in got2} == {"doc1", "doc3"}
+        # single-term and no-match phrases
+        assert eng.phrase_query("resonance")
+        assert eng.phrase_query("alpha beta") == []
+        # phrase scores equal the bag scores for the matching docs
+        by_doc = {r["conv_id"]: r["score"] for r in eng.query(
+            "turbine blade resonance", k=10)}
+        for r in got:
+            assert r["score"] == pytest.approx(by_doc[r["conv_id"]], rel=1e-12)
