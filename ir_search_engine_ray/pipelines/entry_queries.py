@@ -285,6 +285,28 @@ def q_phrase_simple(sf_dir: str) -> pa.Table:
     )
 
 
+def _boolean_spec(sf_dir: str) -> tuple[list[str], list[str]]:
+    """Deterministic boolean test spec from the picked phrases: must =
+    first two terms of phrase 0, must_not = first term of phrase 1."""
+    phrases = _pick_phrases(sf_dir)
+    return phrases[0].split()[:2], [phrases[1].split()[0]]
+
+
+def q_boolean_simple(sf_dir: str) -> pa.Table:
+    meta = cached_index(sf_dir, "simple")
+    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10))
+    must, must_not = _boolean_spec(sf_dir)
+    rows = eng.boolean_query(" ".join(must), " ".join(must_not), "w2", 10)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array(
+                [round(r["score"], 6) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 def q_index_stats_full(sf_dir: str) -> pa.Table:
     """Full-mode index doc count — the SQL-checkable slice of the stats.
 
@@ -523,16 +545,13 @@ stats AS (
 
 def _sql_phrase_simple(fx: str, phrase: str, k: int = 10) -> str:
     """Oracle for phrase search (simple mode): the bag-of-words w2 scoring
-    of `_sql_topk` restricted to docs whose stopword-filtered token stream
-    contains the phrase as a CONTIGUOUS run — exactly
-    ``QueryEngine.phrase_query`` semantics."""
+    restricted to docs whose stopword-filtered token stream contains the
+    phrase as a CONTIGUOUS run — ``QueryEngine.phrase_query`` semantics."""
     terms = phrase.split()
     n = len(terms)
     window = " || ' ' || ".join(f"fts[i+{j}]" for j in range(n))
     stop = STOPWORDS_SQL_LIST
-    return f"""
-WITH {_sql_tokens_cte(fx)},
-pts AS (
+    restrict = f"""pts AS (
   SELECT doc_id,
          list_filter(
            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -546,7 +565,39 @@ ph AS (
     AND list_contains(
           list_transform(range(1, len(fts) - {n - 2}), i -> {window}),
           '{phrase}')
+)"""
+    return _sql_restricted_topk(fx, phrase, restrict, k)
+
+
+def _sql_boolean_simple(
+    fx: str, must: list[str], must_not: list[str], k: int = 10
+) -> str:
+    """Oracle for boolean retrieval: docs with ALL must terms and NO
+    must_not terms, ranked by the must bag's w2 cosine."""
+    musts = ", ".join(f"'{t}'" for t in must)
+    nots = ", ".join(f"'{t}'" for t in must_not) or "''"
+    restrict = f"""cand AS (
+  SELECT doc_id FROM tf WHERE term IN ({musts})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)}
 ),
+ph AS (
+  SELECT doc_id FROM cand
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({nots}))
+)"""
+    return _sql_restricted_topk(fx, " ".join(must), restrict, k)
+
+
+def _sql_restricted_topk(
+    fx: str, query_literal: str, restrict_ctes: str, k: int = 10
+) -> str:
+    """w2 bag scoring of a literal query restricted to a doc set: shared
+    skeleton for phrase/boolean oracles; ``restrict_ctes`` must define a
+    CTE chain ending in ``ph(doc_id)``."""
+    stop = STOPWORDS_SQL_LIST
+    phrase = query_literal
+    return f"""
+WITH {_sql_tokens_cte(fx)},
+{restrict_ctes},
 w AS (
   SELECT tf.term, tf.doc_id, {_SQL_W2_EXPR} AS wd
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
@@ -869,6 +920,7 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
         "topk_w2_simple": _sql_topk(fx, "w2"),
         "topk_w1_simple": _sql_topk(fx, "w1"),
         "topk_w2_snippet": _sql_topk(fx, "w2", snippet=True),
+        "boolean_simple": _sql_boolean_simple(fx, *_boolean_spec(sf_dir)),
         "phrase_simple": "\nUNION ALL\n".join(
             f"SELECT {pid}::BIGINT AS phrase_id, doc_id, score FROM ("
             + _sql_phrase_simple(fx, phrase)
@@ -1070,6 +1122,7 @@ def build_queries() -> dict:
         "topk_w1_simple": q_topk_w1_simple,
         "topk_w2_snippet": q_topk_w2_snippet,
         "phrase_simple": q_phrase_simple,
+        "boolean_simple": q_boolean_simple,
         "topk_w2_full": q_topk_w2_full,
         "topk_w1_full": q_topk_w1_full,
         "index_stats_full": q_index_stats_full,

@@ -261,11 +261,13 @@ class ShardState:
         out.sort(key=lambda t: (-t[1], t[0]))
         return out
 
-    def docs_with_all(self, terms: list[str]) -> list[int]:
-        """Local doc_ids containing EVERY term (AND semantics) — the
-        phrase-candidate generator.  A doc's postings all live in one
-        shard, so per-shard intersections concatenate into the global
-        candidate set."""
+    def docs_with_all(
+        self, terms: list[str], exclude_terms: list[str] | None = None
+    ) -> list[int]:
+        """Local doc_ids containing EVERY term (AND semantics), minus docs
+        containing any ``exclude_terms`` (NOT semantics) — the phrase /
+        boolean candidate generator.  A doc's postings all live in one
+        shard, so per-shard results concatenate into the global set."""
         datas = []
         for t in set(terms):
             d = self.terms.get(t)
@@ -278,6 +280,12 @@ class ShardState:
             ids = np.intersect1d(ids, d.ids, assume_unique=True)
             if ids.size == 0:
                 break
+        for t in set(exclude_terms or ()):
+            if ids.size == 0:
+                break
+            d = self.terms.get(t)
+            if d is not None:
+                ids = ids[~np.isin(ids, d.ids, assume_unique=True)]
         return ids.tolist()
 
     def term_weights(
@@ -331,8 +339,8 @@ class IndexShardActor:
             self.state.score(t, w, scheme, k, algorithm) for t, w in queries
         ]
 
-    def docs_with_all(self, terms):
-        return self.state.docs_with_all(terms)
+    def docs_with_all(self, terms, exclude_terms=None):
+        return self.state.docs_with_all(terms, exclude_terms)
 
     def term_weights(self, terms, doc_ids, scheme):
         return self.state.term_weights(terms, doc_ids, scheme)
@@ -551,6 +559,58 @@ class QueryEngine:
                 [a.term_weights.remote(uniq, docs, scheme) for a in self.actors]
             )
         wn = np.sum(mats, axis=0)  # each doc owned by exactly one shard
+        scores = (wn @ wq) / q_norm
+        keep = scores > 0.0
+        return self._finish(
+            [list(zip(cand[keep].tolist(), scores[keep].tolist()))], k, 1.0
+        )
+
+    def boolean_query(
+        self,
+        must: str,
+        must_not: str = "",
+        scheme: str | None = None,
+        k: int | None = None,
+    ) -> list[dict]:
+        """Boolean retrieval: docs containing EVERY normalized term of
+        ``must`` and NONE of ``must_not``, ranked by the bag-of-words
+        cosine of the must terms (same scoring as :meth:`query`).  The
+        candidate set comes from per-shard posting intersections/exclusions
+        — no corpus scan."""
+        scheme = scheme or self.config.scheme
+        k = k or self.config.top_k
+        terms = self.pipe(must)
+        if not terms:
+            return []
+        uniq = list(dict.fromkeys(terms))
+        not_terms = list(dict.fromkeys(self.pipe(must_not))) if must_not else []
+        if self.local:
+            parts = [s.docs_with_all(uniq, not_terms) for s in self.states]
+        else:
+            parts = ray.get(
+                [a.docs_with_all.remote(uniq, not_terms) for a in self.actors]
+            )
+        cand = np.sort(
+            np.concatenate([np.array(p, dtype=np.int64) for p in parts])
+            if any(parts)
+            else np.empty(0, np.int64)
+        )
+        if cand.size == 0:
+            return []
+        q_tfs = Counter(terms)
+        dfs = self.df_map if self.df_map is not None else self._query_dfs(q_tfs)
+        weights_map, q_norm = query_weights(dict(q_tfs), dfs, self.meta.N)
+        if q_norm == 0.0:
+            return []
+        wq = np.array([weights_map[t] for t in uniq])
+        docs = cand.tolist()
+        if self.local:
+            mats = [s.term_weights(uniq, docs, scheme) for s in self.states]
+        else:
+            mats = ray.get(
+                [a.term_weights.remote(uniq, docs, scheme) for a in self.actors]
+            )
+        wn = np.sum(mats, axis=0)
         scores = (wn @ wq) / q_norm
         keep = scores > 0.0
         return self._finish(

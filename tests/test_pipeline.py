@@ -674,3 +674,21 @@ class TestPhraseQuery:
             "turbine blade resonance", k=10)}
         for r in got:
             assert r["score"] == pytest.approx(by_doc[r["conv_id"]], rel=1e-12)
+
+    def test_boolean_query(self, ray_session, built, corpus):
+        """MUST/NOT semantics: results contain every must term, none of the
+        excluded terms, and score exactly like the must bag."""
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built)
+        got = eng.boolean_query("flow", "wing", k=30)
+        assert got
+        bag = {r["doc_id"]: r["score"] for r in eng.query("flow", k=30000)}
+        excluded = {r["doc_id"] for r in eng.query("wing", k=30000)}
+        for r in got:
+            assert r["doc_id"] in bag
+            assert r["doc_id"] not in excluded
+            assert r["score"] == pytest.approx(bag[r["doc_id"]], rel=1e-12)
+        # empty must / fully-excluded cases
+        assert eng.boolean_query("", "flow") == []
+        assert eng.boolean_query("flow", "flow") == []
