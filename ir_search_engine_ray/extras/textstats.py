@@ -163,5 +163,51 @@ def hash_token(tok: str) -> int:
     return h
 
 
+def ngram_counts(
+    docs_ds: ray.data.Dataset, *, n: int = 2, min_count: int = 1
+) -> ray.data.Dataset:
+    """Corpus n-gram frequencies: (ngram, count) over the [a-z]+ token
+    stream — the language-model / collocation-analysis staple.  Per-batch
+    combiners pre-aggregate before one vocabulary-of-ngrams groupby; raw
+    token streams never shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = _tokens(t)
+            for i in range(len(toks) - n + 1):
+                cnt[" ".join(toks[i : i + n])] += 1
+        return pa.table(
+            {
+                "ngram": pa.array(list(cnt.keys()), type=pa.string()),
+                "count": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    g = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("count"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ngram": b["ngram"],
+                "count": b["sum(count)"].cast(pa.int64()),
+            }
+        )
+        if min_count > 1:
+            t = t.filter(
+                pa.compute.greater_equal(t["count"], min_count)
+            )
+        return t
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def run(docs_ds: ray.data.Dataset, fn) -> ray.data.Dataset:
     return docs_ds.map_batches(fn, batch_format="pyarrow")

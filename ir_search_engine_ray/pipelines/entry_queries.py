@@ -408,6 +408,10 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir).map_batches(textstats.lang_id, batch_format="pyarrow")
 
 
+def q_bigram_counts(sf_dir: str) -> ray.data.Dataset:
+    return textstats.ngram_counts(_docs_ds(sf_dir), n=2, min_count=2)
+
+
 def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir).map_batches(
         textstats.doc_fingerprint, batch_format="pyarrow"
@@ -952,6 +956,18 @@ FROM fp GROUP BY fingerprint
 SELECT count(*)::BIGINT AS n_docs
 FROM read_parquet('{fx}/transcripts/*.parquet')
 """,
+        "bigram_counts": f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))
+           AS ngram
+  FROM toks WHERE len(ts) >= 2
+)
+SELECT ngram, count(*)::BIGINT AS count
+FROM grams GROUP BY 1 HAVING count(*) >= 2
+""",
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "curated_docs": _sql_curated_docs(),
@@ -1134,6 +1150,7 @@ def build_queries() -> dict:
         "quality_signals": q_quality_signals,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "bigram_counts": q_bigram_counts,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_batch_topk": q_ann_batch_topk,

@@ -715,3 +715,15 @@ class TestSplits:
             splits.assign_splits(
                 ray.data.from_arrow(t), splits=(("a", 0),)
             ).to_pandas()
+
+
+class TestNgramCounts:
+    def test_bigram_counts(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        ds = _docs_ds([(0, "a b c a b"), (1, "a b x")], num_blocks=2)
+        out = textstats.ngram_counts(ds, n=2).to_pandas()
+        got = dict(zip(out["ngram"], out["count"]))
+        assert got == {"a b": 3, "b c": 1, "c a": 1, "b x": 1}
+        out2 = textstats.ngram_counts(ds, n=2, min_count=2).to_pandas()
+        assert dict(zip(out2["ngram"], out2["count"])) == {"a b": 3}

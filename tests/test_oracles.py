@@ -64,6 +64,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "token_count_bpe",
         "phrase_simple",
         "boolean_simple",
+        "bigram_counts",
         "dataset_split",
         "corpus_stats",
         "dedup_exact_normalized",
