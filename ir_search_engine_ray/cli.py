@@ -1,9 +1,12 @@
 """Command-line entry points (`ray job submit`-able).
 
     python -m ir_search_engine_ray build  TRANSCRIPTS OUT [--mode ...] ...
-    python -m ir_search_engine_ray query  INDEX_DIR "query text" [...]
+    python -m ir_search_engine_ray query  INDEX_DIR "text" [--phrase|--explain|--snippet]
     python -m ir_search_engine_ray batch-query INDEX_DIR QUERIES.parquet [...]
+    python -m ir_search_engine_ray ingest-docs CORPUS_DIR OUT
+    python -m ir_search_engine_ray dedup DOCUMENTS.parquet OUT --method ...
     python -m ir_search_engine_ray curate DOCUMENTS.parquet OUT [...]
+    python -m ir_search_engine_ray stats INDEX_DIR [--term flow]
     python -m ir_search_engine_ray export INDEX_DIR OUT --format gamma
 
 On a cluster: ``ray job submit --working-dir . -- python -m
