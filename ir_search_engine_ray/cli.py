@@ -145,12 +145,30 @@ def _cmd_ingest_docs(args) -> None:
     print(json.dumps({"out": out, "n_docs": n}))
 
 
+def _fresh_out_dir(path: str, overwrite: bool) -> None:
+    """Refuse to append into a non-empty output dir: a re-run of
+    ``write_parquet`` would otherwise ADD files next to the old ones and
+    silently double the data."""
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    if p.exists() and any(p.glob("*.parquet")):
+        if not overwrite:
+            raise SystemExit(
+                f"output dir {path} already holds parquet files; "
+                "pass --overwrite to replace it"
+            )
+        shutil.rmtree(p)
+
+
 def _cmd_dedup(args) -> None:
     import ray.data
 
     _ensure_ray()
     from .extras import dedup
 
+    _fresh_out_dir(args.out, args.overwrite)
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
     if args.method == "exact":
         out = dedup.exact_dedup(docs)
@@ -179,6 +197,7 @@ def _cmd_curate(args) -> None:
     _ensure_ray()
     from .pipelines.curate import curate
 
+    _fresh_out_dir(args.out, args.overwrite)
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
     out = curate(
         docs,
@@ -316,6 +335,7 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold (minhash/clusters)")
     d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--overwrite", action="store_true")
     d.set_defaults(fn=_cmd_dedup)
 
     c = sub.add_parser(
@@ -330,6 +350,7 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--lang", default="en", help="language gate, or 'any'")
     c.add_argument("--jaccard", type=float, default=0.5,
                    help="near-dup drop threshold")
+    c.add_argument("--overwrite", action="store_true")
     c.set_defaults(fn=_cmd_curate)
 
     st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
