@@ -617,11 +617,36 @@ class QueryEngine:
             [list(zip(cand[keep].tolist(), scores[keep].tolist()))], k, 1.0
         )
 
-    def _source_paths(self) -> list[str]:
+    def _source_paths(self, need_convs: list[str] | None = None) -> list[str]:
+        """The index's recorded input files; with ``need_convs``, pruned to
+        files whose conv_id range (parquet footer row-group stats) overlaps
+        the needed conversations — file-level predicate pushdown for the
+        verify read."""
         import json
 
         stats = json.loads((self.meta.out_dir / "stats.json").read_text())
-        return [ln["path"] for ln in stats["lineage"]]
+        paths = [ln["path"] for ln in stats["lineage"]]
+        if not need_convs:
+            return paths
+        lo, hi = need_convs[0], need_convs[-1]
+        kept = []
+        for p in paths:
+            try:
+                md = pq.read_metadata(p)
+                idx = md.schema.names.index("conv_id")
+                fmin = fmax = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no stats")
+                    fmin = st.min if fmin is None else min(fmin, st.min)
+                    fmax = st.max if fmax is None else max(fmax, st.max)
+                if fmax < lo or fmin > hi:
+                    continue
+            except Exception:
+                pass  # unreadable stats: keep the file (correctness first)
+            kept.append(p)
+        return kept
 
     def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
         """Distributed contiguous-run check over ONLY the candidate docs."""
@@ -666,7 +691,8 @@ class QueryEngine:
             return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
         ds = ray.data.read_parquet(
-            self._source_paths(), columns=["conv_id", "turn_idx", "text"]
+            self._source_paths(need_convs),
+            columns=["conv_id", "turn_idx", "text"],
         ).map_batches(check, batch_format="pyarrow")
         got = np.array(
             [r["doc_id"] for r in ds.take_all()], dtype=np.int64
