@@ -692,3 +692,67 @@ class TestPhraseQuery:
         # empty must / fully-excluded cases
         assert eng.boolean_query("", "flow") == []
         assert eng.boolean_query("flow", "flow") == []
+
+
+class TestScalePathResume:
+    def test_kill_resume_with_hier_offsets_and_distributed_df(
+        self, ray_session, built, corpus, tmp_path
+    ):
+        """The round's scale paths (hierarchical conversation offsets +
+        distributed df combine) must resume from a SIGKILL exactly like the
+        defaults and converge to the identical index."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        out = tmp_path / "killed_scale_idx"
+        cfg = (
+            "IndexConfig(tokenize_batch_size=64, offsets_hierarchical=True, "
+            "df_distributed=True)"
+        )
+        script = (
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from ir_search_engine_ray.config import IndexConfig\n"
+            "from ir_search_engine_ray.pipelines.index_build import build_index\n"
+            f"build_index({str(corpus / 'transcripts')!r}, {str(out)!r}, {cfg})\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        blocks = out / "blocks"
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if len(list(blocks.glob("block-*.arrow"))) >= 2:
+                    break
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.05)
+            else:
+                pytest.fail("subprocess build never produced blocks")
+        finally:
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            out,
+            IndexConfig(
+                tokenize_batch_size=64,
+                offsets_hierarchical=True,
+                df_distributed=True,
+            ),
+            concurrency=2,
+        )
+        assert meta.N == built.N
+        assert _engine_postings(out) == _engine_postings(built.out_dir)
+        assert meta.df_map() == built.df_map()
