@@ -137,6 +137,7 @@ def _cmd_batch_query(args) -> None:
 def _cmd_ingest_docs(args) -> None:
     from .sources.transcripts import docs_dir_to_transcripts
 
+    _fresh_out_dir(args.out, args.overwrite)
     _ensure_ray()
     out = docs_dir_to_transcripts(args.docs_dir, args.out, glob=args.glob)
     import pyarrow.parquet as pq
@@ -175,13 +176,13 @@ def _cmd_dedup(args) -> None:
     elif args.method == "exact-normalized":
         out = dedup.exact_dedup_normalized(docs)
     elif args.method == "minhash":
-        pairs = dedup.minhash_lsh_pairs(docs)
+        pairs = dedup.minhash_lsh_pairs(docs, dedupe=False)
         out = dedup.verify_jaccard(pairs, docs, threshold=args.threshold)
     elif args.method == "simhash":
         out = dedup.simhash_candidate_pairs(docs, max_hamming=args.max_hamming)
     else:  # clusters
         pairs = dedup.verify_jaccard(
-            dedup.minhash_lsh_pairs(docs), docs, threshold=args.threshold
+            dedup.minhash_lsh_pairs(docs, dedupe=False), docs, threshold=args.threshold
         )
         out = dedup.connected_components(pairs)
     out.write_parquet(args.out)
@@ -318,6 +319,7 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("docs_dir")
     g.add_argument("out")
     g.add_argument("--glob", default="*")
+    g.add_argument("--overwrite", action="store_true")
     g.set_defaults(fn=_cmd_ingest_docs)
 
     d = sub.add_parser(

@@ -61,3 +61,8 @@ class QueryConfig:
     # stream from the partitioned df parquet on demand (memoized), for
     # vocabularies beyond driver memory.  True (default) loads df once.
     df_in_memory: bool = True
+    # conv-offset residency: None = auto (in-memory below
+    # convmap.OFFSETS_IN_MEMORY_ROWS conversations, else footer-pruned
+    # row-group streaming), True/False = force.  The streamed mode keeps the
+    # engine free of any conversation-count-sized structure.
+    offsets_in_memory: bool | None = None

@@ -11,12 +11,14 @@ Four families over the ``documents`` table, each expressed Ray-Data-first:
 - n-gram Jaccard: exact similarity for a candidate pair set.
 
 Scale notes: candidate generation is shuffle-based (buckets are the group
-key) so no stage ever holds all pairs; verification is a hash join of the
-pair list against the corpus on doc_id (``verify_jaccard`` — candidate
-texts travel through the shuffle, never the driver); verified pairs resolve
-to transitive clusters via ``connected_components`` (driver union-find over
+key) so no stage ever holds all pairs; verification auto-picks its
+strategy from the candidate count (``verify_jaccard`` — a bounded
+broadcast small-side join below ``BROADCAST_PAIRS_MAX``, a partition-
+tagged sort-shuffle co-location above it); verified pairs resolve to
+transitive clusters via ``connected_components`` (driver union-find over
 the bounded pair set) or ``connected_components_distributed`` (min-label
-propagation) beyond that.
+propagation) beyond that; set-difference filters (curate's near-dup drop)
+are the distributed ``anti_join_ids``.
 """
 
 from __future__ import annotations
@@ -255,8 +257,15 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    dedupe: bool = True,
 ) -> ray.data.Dataset:
-    """Candidate near-duplicate pairs (doc_a < doc_b), deduplicated."""
+    """Candidate near-duplicate pairs (doc_a < doc_b), deduplicated.
+
+    ``dedupe=False`` skips the (doc_a, doc_b) dedup shuffle — a pair found
+    in several LSH buckets then appears several times.  Callers that feed
+    the candidates straight into :func:`verify_jaccard` should pass False:
+    verification collapses duplicates in both its strategies, so the extra
+    shuffle job buys nothing there."""
     sigs = docs_ds.map_batches(
         minhash_signatures,
         fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
@@ -268,7 +277,7 @@ def minhash_lsh_pairs(
     pairs = buckets.groupby("part").map_groups(
         _pairs_from_partition, batch_format="pyarrow"
     )
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs) if dedupe else pairs
 
 
 @ray.remote
@@ -281,14 +290,59 @@ def _nonempty_block_refs(ds: ray.data.Dataset) -> list:
 
     Ray's sort-based aggregate can emit EMPTY ZERO-COLUMN blocks, and
     map_batches never invokes the UDF on empty blocks (so the schema cannot
-    be repaired in-stream); ``Dataset.join`` then fails with "No match for
-    key field" when such a block — or a fully empty input — reaches an
-    aggregator.  Row counts are checked in tasks next to the blocks (refs
-    only on the driver); the cost is an execution barrier on ``ds``, which
-    a join forces anyway."""
+    be repaired in-stream); downstream groupbys/joins then fail on the
+    schema-less block.  Row counts are checked in tasks next to the blocks
+    (refs only on the driver); the cost is an execution barrier on ``ds``,
+    which the consumers here force anyway."""
+    refs, _ = _nonempty_blocks(ds)
+    return refs
+
+
+def _nonempty_blocks(ds: ray.data.Dataset) -> tuple[list, int]:
+    """(non-empty block refs, total row count) — the row count rides along
+    free and drives small-side strategy choices."""
     refs = ds.to_arrow_refs()
     nrows = ray.get([_block_num_rows.remote(r) for r in refs])
-    return [r for r, n in zip(refs, nrows) if n]
+    return [r for r, n in zip(refs, nrows) if n], int(sum(nrows))
+
+
+# pairs at/below this count take the broadcast (small-side) verify path:
+# driver state is O(pairs), never O(corpus).  Above it, the partitioned
+# two-shuffle path runs — no driver-side structure at any size.
+BROADCAST_PAIRS_MAX = 50_000
+
+VERIFY_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _pair_jaccard(
+    da: np.ndarray, db: np.ndarray, sh_map: dict[int, np.ndarray], threshold: float
+) -> pa.Table:
+    """Exact Jaccard for pair arrays given per-doc shingle-hash arrays;
+    pairs with a missing side are dropped (inner-join semantics)."""
+    oa: list[int] = []
+    ob: list[int] = []
+    oj: list[float] = []
+    for a, b in zip(da.tolist(), db.tolist()):
+        sa = sh_map.get(a)
+        sb = sh_map.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = round(inter / union, 6) if union else 0.0
+        if j >= threshold:
+            oa.append(a)
+            ob.append(b)
+            oj.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(oa, type=pa.int64()),
+            "doc_b": pa.array(ob, type=pa.int64()),
+            "jaccard": pa.array(oj, type=pa.float64()),
+        }
+    )
 
 
 def verify_jaccard(
@@ -298,79 +352,270 @@ def verify_jaccard(
     shingle_k: int = 3,
     threshold: float = 0.7,
     num_partitions: int | None = None,
+    broadcast_pairs_max: int | None = None,
 ) -> ray.data.Dataset:
     """Exact word-shingle Jaccard for each candidate pair; keeps pairs at or
-    above ``threshold``.
+    above ``threshold``.  Auto-strategy on the CANDIDATE count (known free
+    from the pair blocks), mirroring the build's ``df_distributed`` switch:
 
-    Distributed as two hash joins of the pair list against the corpus on
-    doc_id (``Dataset.join``): candidate texts travel through the shuffle,
-    never through the driver — no corpus-sized broadcast, no stage whose
-    memory grows with the number of documents.  Only candidate docs'
-    texts are ever moved (the join is inner on the pair side).
+    - **broadcast path** (pairs <= ``broadcast_pairs_max``): the guide's
+      "broadcast the small side" join — the needed doc_ids (<= 2x pairs)
+      ship once via ``ray.put``, ONE streaming ``map_batches`` pass over
+      the corpus computes shingle sketches for just those docs, and the
+      pair-bounded sketch table verifies in place.  Zero shuffles, zero
+      join operators; driver/broadcast state is O(pairs) with an explicit
+      ceiling, never O(corpus).
+    - **partitioned path** (above the ceiling, or forced with
+      ``broadcast_pairs_max=0``): no driver-side structure of any size.
+      Corpus rows and pair rows (exploded to both sides) are hash-tagged by
+      doc_id and co-located by ONE ``groupby(part)`` sort shuffle — corpus
+      text crosses the wire once (the former two-``Dataset.join`` form
+      moved it twice and paid two aggregator-pool spin-ups); each partition
+      attaches shingle sketches to its pair sides, and a second,
+      PAIR-BOUNDED shuffle on (doc_a, doc_b) brings the two sketches
+      together for the exact Jaccard.
+    """
+    if broadcast_pairs_max is None:
+        broadcast_pairs_max = BROADCAST_PAIRS_MAX
+    pair_refs, n_pairs = _nonempty_blocks(pairs_ds)
+    if not pair_refs:
+        return ray.data.from_arrow(VERIFY_SCHEMA.empty_table())
+    docs_sel = docs_ds.select_columns(["doc_id", "text"])
 
-    ``num_partitions`` defaults to cluster_CPUs // 16 per join: aggregator
-    actor spin-up dominates below millions of candidate pairs (measured:
-    2 partitions verify the same pair set ~1.5x faster than 8 on 32 CPUs),
-    both joins' actor pools coexist in one streaming DAG, and oversizing
-    them deadlocks scheduling on small clusters.  Size it to the candidate
-    pair volume when calling at real scale."""
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 16)
-    out_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
-    )
-    pair_refs = _nonempty_block_refs(pairs_ds)
-    doc_refs = _nonempty_block_refs(docs_ds.select_columns(["doc_id", "text"]))
-    if not pair_refs or not doc_refs:
-        # the join operator cannot take a fully empty side; an empty
-        # candidate set (or corpus) verifies to an empty pair set
-        return ray.data.from_arrow(out_schema.empty_table())
-    docs_sel = ray.data.from_arrow_refs(doc_refs)
-    j = ray.data.from_arrow_refs(pair_refs)
-    for side in ("a", "b"):
-        # the hash join drops the right key column; only "text" needs a
-        # side-specific name before the second join adds its twin.  The
-        # join's own empty output partitions are zero-column blocks too, so
-        # normalize again before the second join (see _drop_empty_blocks).
-        j = j.join(
-            docs_sel,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=(f"doc_{side}",),
-            right_on=("doc_id",),
-        ).map_batches(
-            lambda b, side=side: b.rename_columns(
-                [f"text_{side}" if c == "text" else c for c in b.column_names]
-            ),
-            batch_format="pyarrow",
+    if n_pairs <= broadcast_pairs_max:
+        pair_tbl = pa.concat_tables(
+            [t.select(["doc_a", "doc_b"]) for t in ray.get(pair_refs)]
         )
-        if side == "a":
-            mid_refs = _nonempty_block_refs(j)
-            if not mid_refs:  # no candidate doc_a survived the inner join
-                return ray.data.from_arrow(out_schema.empty_table())
-            j = ray.data.from_arrow_refs(mid_refs)
+        # a candidate surfacing from several buckets verifies (and reports)
+        # once — mirrors the partitioned path's per-group collapse
+        uniq = np.unique(
+            np.stack(
+                [pair_tbl["doc_a"].to_numpy(), pair_tbl["doc_b"].to_numpy()],
+                axis=1,
+            ),
+            axis=0,
+        )
+        da, db = uniq[:, 0], uniq[:, 1]
+        need_ref = ray.put(pa.array(np.unique(np.concatenate([da, db]))))
 
-    def verify(batch: pa.Table) -> pa.Table:
-        jac = np.empty(batch.num_rows, dtype=np.float64)
-        for i, (ta, tb) in enumerate(
-            zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
-        ):
-            sa = _shingle_hashes(ta, shingle_k)
-            sb = _shingle_hashes(tb, shingle_k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[i] = inter / union if union else 0.0
-        t = pa.table(
+        def sketch(batch: pa.Table) -> pa.Table:
+            need = ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
+            hit = batch.filter(
+                pa.compute.is_in(batch["doc_id"], value_set=need)
+            )
+            sh = [
+                _shingle_hashes(t, shingle_k).tobytes()
+                for t in hit["text"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": hit["doc_id"],
+                    "sh": pa.array(sh, type=pa.large_binary()),
+                }
+            )
+
+        sk_refs, _n = _nonempty_blocks(
+            docs_sel.map_batches(sketch, batch_format="pyarrow")
+        )
+        sh_map: dict[int, np.ndarray] = {}
+        for t in ray.get(sk_refs):
+            for d, s in zip(t["doc_id"].to_numpy(), t["sh"].to_pylist()):
+                sh_map[int(d)] = np.frombuffer(s, dtype=np.uint64)
+        return ray.data.from_arrow(_pair_jaccard(da, db, sh_map, threshold))
+
+    # ---- partitioned path ------------------------------------------------
+    P = num_partitions or N_SHUFFLE_PARTS
+    pairs = ray.data.from_arrow_refs(pair_refs)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        key = b["doc_id"].to_numpy().astype(np.int64)
+        n = len(key)
+        return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard": pa.array(np.round(jac, 6), type=pa.float64()),
+                "key": pa.array(key),
+                "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": b["text"],
+                "part": pa.array((key % P).astype(np.int32)),
             }
         )
-        return t.filter(pa.compute.field("jaccard") >= threshold)
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        bb = b["doc_b"].to_numpy().astype(np.int64)
+        key = np.concatenate([a, bb])  # each pair lands on BOTH sides' parts
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([bb, bb])),
+                "text": pa.nulls(len(key), type=pa.string()),
+                "part": pa.array((key % P).astype(np.int32)),
+            }
+        )
+
+    u = docs_sel.map_batches(tag_docs, batch_format="pyarrow").union(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "sh": pa.array([], type=pa.large_binary()),
+                "part2": pa.array([], type=pa.int32()),
+            }
+        )
+        is_pair = pa.compute.not_equal(group["doc_a"], -1)
+        prows = group.filter(is_pair)
+        if prows.num_rows == 0:
+            return empty
+        drows = group.filter(pa.compute.invert(is_pair))
+        texts = dict(zip(drows["key"].to_numpy(), drows["text"].to_pylist()))
+        keys = prows["key"].to_numpy()
+        # one sketch per DISTINCT needed doc, not per pair row
+        sketches: dict[int, bytes] = {}
+        for k in np.unique(keys):
+            t = texts.get(int(k))
+            if t is not None:
+                sketches[int(k)] = _shingle_hashes(t, shingle_k).tobytes()
+        sh = [sketches.get(int(k)) for k in keys]
+        ok = np.array([s is not None for s in sh], dtype=bool)
+        if not ok.any():
+            return empty
+        da = prows["doc_a"].to_numpy()[ok]
+        db = prows["doc_b"].to_numpy()[ok]
+        with np.errstate(over="ignore"):
+            part2 = (
+                (da.astype(np.uint64) * np.uint64(1_000_003)
+                 + db.astype(np.uint64)) % np.uint64(P)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "key": pa.array(keys[ok]),
+                "sh": pa.array(
+                    [s for s in sh if s is not None], type=pa.large_binary()
+                ),
+                "part2": pa.array(part2),
+            }
+        )
+
+    staged = u.groupby("part").map_groups(attach, batch_format="pyarrow")
+    mid_refs, _n = _nonempty_blocks(staged)
+    if not mid_refs:
+        return ray.data.from_arrow(VERIFY_SCHEMA.empty_table())
+    staged = ray.data.from_arrow_refs(mid_refs)
+
+    def verify(group: pa.Table) -> pa.Table:
+        da = group["doc_a"].to_numpy()
+        db = group["doc_b"].to_numpy()
+        key = group["key"].to_numpy()
+        sh = group["sh"]
+        order = np.lexsort((key, db, da))
+        da, db, key = da[order], db[order], key[order]
+        sh = sh.take(pa.array(order))
+        change = np.flatnonzero((np.diff(da) != 0) | (np.diff(db) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [da.size]))
+        oa, ob, oj = [], [], []
+        for s, e in zip(starts, ends):
+            ks = key[s:e]
+            # a-side sorts first (doc_a < doc_b); dup pair rows collapse here
+            ia = np.flatnonzero(ks == da[s])
+            ib = np.flatnonzero(ks == db[s])
+            if ia.size == 0 or ib.size == 0:
+                continue  # one side's doc missing from the corpus
+            sa = np.frombuffer(sh[int(s + ia[0])].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(sh[int(s + ib[0])].as_py(), dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = round(inter / union, 6) if union else 0.0
+            if j >= threshold:
+                oa.append(int(da[s]))
+                ob.append(int(db[s]))
+                oj.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, type=pa.int64()),
+                "doc_b": pa.array(ob, type=pa.int64()),
+                "jaccard": pa.array(oj, type=pa.float64()),
+            }
+        )
+
+    return staged.groupby("part2").map_groups(verify, batch_format="pyarrow")
+
+
+def anti_join_ids(
+    ds: ray.data.Dataset,
+    ids_ds: ray.data.Dataset,
+    *,
+    on: str = "doc_id",
+    ids_col: str = "doc_b",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Rows of ``ds`` whose ``on`` value appears NOWHERE in
+    ``ids_ds[ids_col]`` — a distributed left-anti semi-join.
+
+    One partition-tagged union + ``groupby(part)`` sort shuffle: both sides
+    hash on the id, each partition drops its local matches.  No driver-side
+    id set, no broadcast — the exclusion side may be any size (the curate
+    pipeline's near-dup drop list is a corpus-scale fraction at web crawl
+    dup rates).  Column order/types of ``ds`` are preserved; row order is
+    shuffle order (downstream consumers must not rely on it)."""
+    P = num_partitions or N_SHUFFLE_PARTS
+    schema = ds.schema()
+    if schema is None:  # empty/schema-less left side: nothing to filter
+        return ds
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    if "__drop" in names or on not in names:
+        raise ValueError(f"anti_join_ids: bad schema {names}")
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        key = b[on].to_numpy().astype(np.int64)
+        return b.append_column(
+            "__drop", pa.array(np.zeros(len(key), dtype=bool))
+        ).append_column("part", pa.array((key % P).astype(np.int32)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        key = np.unique(b[ids_col].to_numpy().astype(np.int64))
+        cols: dict[str, pa.Array] = {}
+        for n in names:
+            if n == on:
+                cols[n] = pa.array(key, type=pa.int64())
+            else:
+                cols[n] = pa.nulls(len(key), type=types[n])
+        t = pa.table(cols)
+        return t.append_column(
+            "__drop", pa.array(np.ones(len(key), dtype=bool))
+        ).append_column("part", pa.array((key % P).astype(np.int32)))
+
+    right_refs, n_right = _nonempty_blocks(
+        ids_ds.select_columns([ids_col])
+    )
+    if not right_refs:  # nothing to drop
+        return ds
+    u = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        ray.data.from_arrow_refs(right_refs).map_batches(
+            tag_right, batch_format="pyarrow"
+        )
+    )
+
+    def keep(group: pa.Table) -> pa.Table:
+        drop_mask = group["__drop"].to_numpy(zero_copy_only=False)
+        keys = group[on].to_numpy()
+        drop_keys = keys[drop_mask]
+        left = group.filter(pa.array(~drop_mask)).select(names)
+        if drop_keys.size == 0:
+            return left
+        ok = ~np.isin(left[on].to_numpy(), drop_keys)
+        return left.filter(pa.array(ok))
+
+    return u.groupby("part").map_groups(keep, batch_format="pyarrow")
 
 
 def _group_cosine_pairs(
@@ -400,22 +645,53 @@ def _group_cosine_pairs(
     )
 
 
+# pair volume at/above which cluster resolution routes to the distributed
+# min-label propagation by default (mirrors the build's DF_DISTRIBUTED_ROWS
+# auto-switch): below it, driver union-find state is provably bounded
+CC_DISTRIBUTED_PAIRS = 2_000_000
+
+
 def connected_components(
-    pairs_ds: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs_ds: ray.data.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    distributed: bool | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs -> duplicate CLUSTERS: (doc_id, cluster_id)
     for every doc appearing in a pair, cluster_id = the minimum doc_id
     reachable through the pair graph (so the cluster survivor under
     min-id policy is the row where doc_id == cluster_id).
 
-    Union-find over the STREAMED pair batches on the driver: state is
-    O(distinct docs in pairs) — the near-duplicate set, orders of
-    magnitude smaller than the corpus, never the corpus itself (the
-    guide's "union-find on the driver only if the candidate set is
-    provably small" case).  At a pair volume where even that breaks,
-    the same contract is computed distributed with O(log n) rounds of
-    large-star/small-star min-label propagation (an iterated
-    groupby(node).min(label)); the output schema is unchanged."""
+    Auto-strategy on the pair count (``distributed=None``; the pair blocks
+    already know their row counts, so the check is free):
+
+    - below ``CC_DISTRIBUTED_PAIRS``: union-find over the STREAMED pair
+      batches on the driver — state is O(distinct docs in pairs), the
+      near-duplicate set, orders of magnitude smaller than the corpus
+      (the guide's "union-find on the driver only if the candidate set is
+      provably small" case);
+    - at/above it (or forced): the same contract computed distributed with
+      O(diameter) rounds of min-label propagation (an iterated
+      groupby(node).min(label), :func:`connected_components_distributed`);
+      output schema identical, equivalence asserted in tests."""
+    if distributed is None or not distributed:
+        refs, n_pairs = _nonempty_blocks(
+            pairs_ds.select_columns([a_col, b_col])
+        )
+        if not refs:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+                ).empty_table()
+            )
+        pairs_ds = ray.data.from_arrow_refs(refs)
+        if distributed is None:
+            distributed = n_pairs >= CC_DISTRIBUTED_PAIRS
+    if distributed:
+        return connected_components_distributed(
+            pairs_ds, a_col=a_col, b_col=b_col
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -501,11 +777,13 @@ def connected_components_distributed(
         init_labels, batch_format="pyarrow"
     )
     prev_sum = None
+    converged = False
     for _round in range(max_rounds):
         label_refs = _nonempty_block_refs(labels)
         labels = ray.data.from_arrow_refs(label_refs).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         msgs = edges.join(
@@ -529,6 +807,18 @@ def connected_components_distributed(
                 batch_format="pyarrow",
             )
         )
+    if not converged:
+        # labels only decrease, so an unchanged sum IS convergence; an
+        # exhausted loop whose final propagation still changed the sum
+        # means some component (diameter > max_rounds) holds SPLIT — i.e.
+        # wrong — cluster labels.  Never return those silently.
+        final_sum = labels.sum("label")
+        if final_sum != prev_sum:
+            raise RuntimeError(
+                f"connected_components_distributed did not converge in "
+                f"{max_rounds} rounds (label sum still changing); raise "
+                f"max_rounds — component diameter exceeds it"
+            )
     return labels.map_batches(
         lambda b: pa.table(
             {"doc_id": b["node"], "cluster_id": b["label"]}
@@ -545,6 +835,7 @@ def embedding_cosine_pairs(
     round_to: int = 6,
     nlist: int = 16,
     assign_k: int = 4,
+    method: str = "ivf",
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs via IVF buckets — the primary,
     scale-shaped path.
@@ -563,7 +854,15 @@ def embedding_cosine_pairs(
     bucket boundaries; tests assert recall == 1.0 vs the all-pairs baseline
     (:func:`embedding_cosine_pairs_allpairs`) at sandbox scale, and the
     driver's exact SQL oracle enforces the same.  Raise ``assign_k``
-    (towards ``nlist``) to trade compute for recall."""
+    (towards ``nlist``) to trade compute for recall — or pass
+    ``method="exact"`` to opt into the all-pairs baseline explicitly when
+    guaranteed recall matters more than O(N^2) compute."""
+    if method == "exact":
+        return embedding_cosine_pairs_allpairs(
+            emb_ds, threshold, id_col=id_col, round_to=round_to
+        )
+    if method != "ivf":
+        raise ValueError(f"method must be 'ivf' or 'exact', got {method!r}")
     from . import ann
 
     cent = ann.train_centroids(emb_ds, nlist, spherical=True)
@@ -677,6 +976,9 @@ _SM_MUL2 = np.uint64(0x14D049BB133111EB)
 _U64 = 0xFFFFFFFFFFFFFFFF
 
 _CHARPOLY_MEMO: dict[str, int] = {}
+# long-lived workers stream unbounded vocabularies through SimHash; cap the
+# per-process memo so it never grows past the hot head of the distribution
+_CHARPOLY_MEMO_MAX = 1_000_000
 
 
 def _char_poly64(tok: str) -> int:
@@ -685,6 +987,8 @@ def _char_poly64(tok: str) -> int:
         h = 0
         for c in tok:
             h = (h * 31 + ord(c)) & _U64
+        if len(_CHARPOLY_MEMO) >= _CHARPOLY_MEMO_MAX:
+            _CHARPOLY_MEMO.clear()
         _CHARPOLY_MEMO[tok] = h
     return h
 

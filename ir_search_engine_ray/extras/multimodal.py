@@ -265,7 +265,13 @@ def media_neardup(
     real wiring) -> spherical-IVF bucketed cosine pairs
     (``dedup.embedding_cosine_pairs``).  Identical payloads decode to
     identical features, so exact duplicates surface at cosine 1.0
-    regardless of the decoder stub.  Output: (media_a, media_b, cosine)."""
+    regardless of the decoder stub.  Output: (media_a, media_b, cosine).
+
+    Recall note: the IVF bucketing can miss a pair whose two vectors share
+    none of their ``assign_k`` nearest clusters — recall 1.0 is asserted
+    only at test scale.  Raise ``assign_k`` (towards ``nlist``), or pass
+    ``method="exact"`` through to ``embedding_cosine_pairs`` via a direct
+    call, when guaranteed recall matters more than O(N^2) compute."""
     from .dedup import embedding_cosine_pairs
 
     feats = decode_features(

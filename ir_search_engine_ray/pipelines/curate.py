@@ -9,17 +9,21 @@ one streaming Ray Data chain:
    place (no separate filter stage, no second tokenize);
 2. exact dedup: ``groupby(text)`` keeps the minimum doc_id per distinct
    text (the group key IS the text, so survivors need no join back);
-3. near-dup removal: MinHash-LSH candidates among survivors, join-verified
+3. near-dup removal: MinHash-LSH candidates among survivors, verified
    exact Jaccard (extras/dedup.py), then every doc appearing as the HIGHER
    id of a verified pair is dropped — deterministic, order-free, and
-   exactly expressible in SQL for the oracle;
+   exactly expressible in SQL for the oracle.  The drop is a DISTRIBUTED
+   left-anti join of survivors against the verified pairs' ``doc_b``
+   column (``dedup.anti_join_ids``): at web-crawl dup rates the drop list
+   is a corpus-scale fraction, so no driver-side id set and no broadcast
+   exist anywhere in this pipeline;
 4. accounting: surviving (doc_id, n_tokens, n_pieces) — what the kept
    corpus will cost to train on.
 
-Scale shape: stages 1-2 are one map pass + one hash shuffle; stage 3's drop
-set is bounded by the near-duplicate count (pairs, not corpus — broadcast
-via ``ray.put``); stage 4 re-tokenizes only survivors.  Nothing driver-side
-grows with corpus size except the near-dup id set.
+Scale shape: stages 1-2 are one map pass + one hash shuffle; stage 3 is
+the verify strategy (extras/dedup.py auto-picks broadcast vs partitioned
+on the CANDIDATE count) plus one survivor-sized anti-join shuffle; stage 4
+re-tokenizes only survivors.  Nothing driver-side grows with the corpus.
 
 Reference scope note: the reference engine has no curation pipeline; this
 is part of the beyond-reference training-data mandate (SURVEY.md §2.10a).
@@ -29,7 +33,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Min
@@ -84,22 +87,6 @@ def exact_survivors(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def neardup_drop_ids(
-    docs_ds: ray.data.Dataset, *, threshold: float = JACCARD_THRESHOLD
-) -> np.ndarray:
-    """doc_ids to drop: the doc_b side of every verified near-dup pair.
-
-    Bounded by the number of near-duplicate PAIRS (not the corpus); the
-    unique-id set is what gets broadcast back into the filter stage."""
-    pairs = dedup.verify_jaccard(
-        dedup.minhash_lsh_pairs(docs_ds), docs_ds, threshold=threshold
-    )
-    drop: set[int] = set()
-    for b in pairs.select_columns(["doc_b"]).iter_batches(batch_format="pyarrow"):
-        drop.update(b["doc_b"].to_pylist())
-    return np.array(sorted(drop), dtype=np.int64)
-
-
 def curate(
     docs_ds: ray.data.Dataset,
     *,
@@ -118,20 +105,20 @@ def curate(
         },
         batch_format="pyarrow",
     )
-    # survivors feed THREE consumers (LSH signatures, the verify join's doc
-    # side, the final accounting pass); without materializing, Ray's lazy
+    # survivors feed THREE consumers (LSH signatures, the verify's doc
+    # side, the anti-join's left side); without materializing, Ray's lazy
     # execution re-runs the gate + dedup shuffle once per consumer.  Blocks
     # stay in the (spillable) object store — cache beats recompute here.
     survivors = exact_survivors(gated).materialize()
-    drop = neardup_drop_ids(survivors, threshold=jaccard_threshold)
-    drop_ref = ray.put(pa.array(drop))
+    pairs = dedup.verify_jaccard(
+        dedup.minhash_lsh_pairs(survivors, dedupe=False), survivors,
+        threshold=jaccard_threshold,
+    )
+    # distributed left-anti join: drop the doc_b side of every verified
+    # pair — NO driver-collected id structure anywhere in the curate DAG
+    kept = dedup.anti_join_ids(survivors, pairs, on="doc_id", ids_col="doc_b")
 
     def account(batch: pa.Table) -> pa.Table:
-        drop_arr = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
-        if len(drop_arr):
-            batch = batch.filter(
-                pc.invert(pc.is_in(batch["doc_id"], value_set=drop_arr))
-            )
         toks = textstats.token_count(batch)
         pieces = textstats.token_count_bpe(batch)
         return pa.table(
@@ -142,4 +129,4 @@ def curate(
             }
         )
 
-    return survivors.map_batches(account, batch_format="pyarrow")
+    return kept.map_batches(account, batch_format="pyarrow")

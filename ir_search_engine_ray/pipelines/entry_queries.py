@@ -258,8 +258,16 @@ def _pick_phrases(sf_dir: str) -> list[str]:
             qualifying.append(toks)
             if len(qualifying) > need_rank:
                 break
+    if not qualifying:
+        raise ValueError(
+            f"{sf_dir}: no document has >= {max_n + 2} simple-mode tokens "
+            "— corpus too small for the phrase fixtures"
+        )
+    # clamp: a fixture corpus smaller than the highest spec rank reuses its
+    # last qualifying doc instead of raising IndexError
     phrases = [
-        " ".join(qualifying[i][2 : 2 + n]) for i, n in _PHRASE_SPECS
+        " ".join(qualifying[min(i, len(qualifying) - 1)][2 : 2 + n])
+        for i, n in _PHRASE_SPECS
     ]
     _PHRASE_MEMO[sf_dir] = phrases
     return phrases
@@ -483,7 +491,7 @@ def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    pairs = dedup.minhash_lsh_pairs(_docs_ds(sf_dir))
+    pairs = dedup.minhash_lsh_pairs(_docs_ds(sf_dir), dedupe=False)
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
 
 
@@ -499,7 +507,7 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Near-dup pairs -> transitive duplicate clusters (min-id label)."""
     docs = _docs_ds(sf_dir)
     pairs = dedup.verify_jaccard(
-        dedup.minhash_lsh_pairs(docs), docs, threshold=0.5
+        dedup.minhash_lsh_pairs(docs, dedupe=False), docs, threshold=0.5
     )
     return dedup.connected_components(pairs)
 

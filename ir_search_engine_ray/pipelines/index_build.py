@@ -112,6 +112,11 @@ class IndexMeta:
         return dict(zip(t["conv_id"].to_pylist(), t["base"].to_pylist()))
 
     def df_map(self) -> dict[str, int]:
+        """Whole-vocabulary df dict — a TEST/DEBUG and small-vocabulary
+        query-parsing convenience (QueryConfig.df_in_memory=True).  The
+        build path and the scale serving path never call this: they stream
+        term-range df parts (stages/norms.py DfStore) and read the
+        vocabulary totals from the df stage marker."""
         t = pq.read_table(self.out_dir / "df", columns=["term", "df"])
         return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
@@ -207,7 +212,12 @@ def build_index(
             n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
             hier = n_rows >= HIER_OFFSETS_ROWS
         tbl = conversation_offsets_table(ds, hierarchical=bool(hier))
-        atomic_write_bytes(convs_path, lambda tmp: pq.write_table(tbl, tmp))
+        # bounded row groups: serving's streamed ConvResolver prunes reads
+        # by row-group footer stats, so group size caps its working set
+        atomic_write_bytes(
+            convs_path,
+            lambda tmp: pq.write_table(tbl, tmp, row_group_size=65536),
+        )
         (out / "stage_convs").mkdir(exist_ok=True)
         mark_stage_complete(
             out / "stage_convs",
@@ -344,7 +354,8 @@ def build_index(
     # range sidecar so serving actors stream only their lexicon's parts
     # (stages/norms.py DfStore).)
     df_dir = out / "df"
-    if stage_complete(df_dir, fp) is None:
+    df_marker = stage_complete(df_dir, fp)
+    if df_marker is None:
         begin_stage(df_dir, fp, keep_partials=False)
         distributed = config.df_distributed
         if distributed is None:
@@ -381,10 +392,16 @@ def build_index(
                 atomic_write_bytes(
                     Path(path), lambda tmp: pq.write_table(out_t, tmp)
                 )
+                # per-part vocabulary stats ride back with the range info so
+                # finalize never has to re-read the df table (at a
+                # billion-term vocabulary that read undid the distributed
+                # combine's memory win)
                 return (
                     Path(path).name,
                     t["term"][0].as_py(),
                     t["term"][-1].as_py(),
+                    t.num_rows,
+                    int(pa.compute.sum(out_t["df"]).as_py() or 0),
                 )
 
             infos = ray.get(
@@ -393,9 +410,12 @@ def build_index(
                     for i, r in enumerate(agg.to_arrow_refs())
                 ]
             )
+            n_terms = n_postings = 0
             for info in infos:
                 if info:
                     ranges[info[0]] = (info[1], info[2])
+                    n_terms += info[3]
+                    n_postings += info[4]
             n_parts = len(ranges)
         else:
             parts = [
@@ -420,6 +440,8 @@ def build_index(
                     {"term": pa.array([], pa.string()),
                      "df": pa.array([], pa.int64())}
                 )
+            n_terms = df_out.num_rows
+            n_postings = int(pa.compute.sum(df_out["df"]).as_py() or 0)
             rows_per = max(1, int(config.df_part_rows))
             n_parts = max(1, -(-df_out.num_rows // rows_per))
             for p in range(n_parts):
@@ -437,12 +459,27 @@ def build_index(
                 else:
                     ranges[name] = ("", "")
         atomic_write_json(df_dir / "_ranges.json", ranges)
-        mark_stage_complete(
-            df_dir, fp, n_parts=n_parts, distributed=bool(distributed)
+        df_marker = mark_stage_complete(
+            df_dir,
+            fp,
+            n_parts=n_parts,
+            distributed=bool(distributed),
+            n_terms=int(n_terms),
+            n_postings=int(n_postings),
         )
-    df_tbl = pq.read_table(df_dir, columns=["term", "df"])
-    n_terms = df_tbl.num_rows
-    df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+    # vocabulary stats come from the stage marker (per-part sums recorded at
+    # write time) — the build never re-materializes the df table
+    if "n_terms" not in df_marker:
+        # marker written by an older build: backfill its stats once
+        t = pq.read_table(df_dir, columns=["df"])
+        extra = {k: v for k, v in df_marker.items() if k != "fingerprint"}
+        extra.update(
+            n_terms=t.num_rows,
+            n_postings=int(pa.compute.sum(t["df"]).as_py() or 0),
+        )
+        df_marker = mark_stage_complete(df_dir, fp, **extra)
+    n_terms = int(df_marker["n_terms"])
+    n_postings = int(df_marker["n_postings"])
     _lap("df")
 
     # NOTE: no norms stage — the chunks ARE the serving shards.  Doc stats
@@ -451,7 +488,6 @@ def build_index(
     # not per query and not as build I/O; the doc-length table the north
     # rule names is the doclen/ partials written free during tokenize.
 
-    n_postings = sum(df_map.values())
     stats = {
         "fingerprint": fp,
         "N": N,

@@ -374,12 +374,15 @@ class QueryEngine:
             self.df_map = None
             self._df_store = DfStore(meta.out_dir / "df")
             self._df_cache: dict[str, int] = {}
-        self.offsets = meta.offsets()
-        # doc_id -> (conv_id, turn_idx) resolution arrays, built ONCE: the
-        # per-query path must not re-sort the conversation table
-        self._convs = sorted(self.offsets)
-        self._bases = np.array(
-            [self.offsets[c] for c in self._convs], dtype=np.int64
+        # doc_id -> (conv_id, turn_idx) resolution: in-memory arrays below
+        # the residency threshold, footer-pruned row-group reads of
+        # convs.parquet above it (stages/convmap.py) — the engine never has
+        # to hold the conversation table
+        from ..stages.convmap import ConvResolver
+
+        self._resolver = ConvResolver(
+            meta.out_dir / "convs.parquet",
+            in_memory=self.config.offsets_in_memory,
         )
         files = [str(f) for f in meta.shard_files()]
         if not files:
@@ -423,12 +426,7 @@ class QueryEngine:
         merged.sort(key=lambda t: (-t[1], t[0]))
         top = merged[:k]
         doc_arr = np.array([d for d, _ in top], dtype=np.int64)
-        if top:
-            pos = np.searchsorted(self._bases, doc_arr, side="right") - 1
-            convs = [self._convs[i] for i in pos]
-            turns = (doc_arr - self._bases[pos]).astype(np.int32)
-        else:
-            convs, turns = [], np.array([], dtype=np.int32)
+        convs, turns = self._resolver.resolve(doc_arr)
         return [
             {
                 "rank": r + 1,
@@ -656,11 +654,11 @@ class QueryEngine:
 
         from ..stages.docids import assign_doc_ids
 
-        pos = np.searchsorted(self._bases, cand, side="right") - 1
-        need_convs = sorted({self._convs[i] for i in pos})
-        conv_arr = pa.array(sorted(self.offsets), type=pa.string())
-        bases_np = self._bases
-        offsets_ref = ray.put((conv_arr, bases_np))
+        # the broadcast offsets pair is RESTRICTED to the candidate
+        # conversations (bounded by the rarest term's df) — never the full
+        # conversation table, in either resolver mode
+        need_convs = self._resolver.convs_for(cand)
+        offsets_ref = ray.put(self._resolver.pair_for_convs(need_convs))
         need_ref = ray.put(pa.array(need_convs, type=pa.string()))
         cand_ref = ray.put(pa.array(cand))
         mode = self.meta.mode

@@ -574,6 +574,78 @@ class TestStreamedDfParse:
         assert 0 < len(stream._df_cache) < built.n_terms
 
 
+class TestStreamedConvOffsets:
+    def test_streamed_resolver_same_results(
+        self, ray_session, built, corpus, tmp_path
+    ):
+        """offsets_in_memory=False: top-k doc_ids resolve to conversation
+        keys via footer-pruned row-group reads of convs.parquet — results
+        identical to the in-memory path (VERDICT r2 "what's wrong #3"
+        done-condition: threshold forced to streaming)."""
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import IndexMeta
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        # rewrite convs.parquet with tiny row groups so pruning is real
+        idx = tmp_path / "idx"
+        shutil.copytree(built.out_dir, idx)
+        convs = pq.read_table(idx / "convs.parquet")
+        (idx / "convs.parquet").unlink()
+        pq.write_table(convs, idx / "convs.parquet", row_group_size=3)
+        n_groups = pq.read_metadata(idx / "convs.parquet").num_row_groups
+        assert n_groups > 2
+        meta = IndexMeta.load(idx)
+
+        mem = QueryEngine(built, QueryConfig(num_actors=2))
+        stream = QueryEngine(
+            meta, QueryConfig(num_actors=2, offsets_in_memory=False)
+        )
+        assert not stream._resolver.in_memory
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        any_rows = False
+        for qt in queries[:6]:
+            got = stream.query(qt)
+            assert got == mem.query(qt)
+            any_rows = any_rows or bool(got)
+        assert any_rows
+        # the resolver held only the touched row groups, never the table
+        assert 0 < len(stream._resolver._cache) <= n_groups
+
+        # phrase search: the broadcast offsets pair is restricted to the
+        # candidate conversations and built via conv_id row-group lookups
+        t = pq.read_table(corpus / "transcripts")
+        phrase = " ".join(t["text"][0].as_py().split()[:3])
+        assert stream.phrase_query(phrase) == mem.phrase_query(phrase)
+
+    def test_resolver_modes_agree_exhaustively(self, ray_session, built, tmp_path):
+        """Every doc_id resolves identically in both modes, and
+        pair_for_convs round-trips every conversation."""
+        import numpy as np
+
+        from ir_search_engine_ray.stages.convmap import ConvResolver
+
+        src = built.out_dir / "convs.parquet"
+        convs = pq.read_table(src)
+        small = tmp_path / "convs.parquet"
+        pq.write_table(convs, small, row_group_size=8)
+        mem = ConvResolver(src, in_memory=True)
+        stream = ConvResolver(small, in_memory=False)
+        all_docs = np.arange(built.N, dtype=np.int64)
+        rng = np.random.default_rng(7)
+        rng.shuffle(all_docs)
+        c1, t1 = mem.resolve(all_docs)
+        c2, t2 = stream.resolve(all_docs)
+        assert c1 == c2
+        assert (t1 == t2).all()
+        all_convs = convs["conv_id"].to_pylist()
+        a1, b1 = mem.pair_for_convs(all_convs)
+        a2, b2 = stream.pair_for_convs(all_convs)
+        assert a1 == a2
+        assert (b1 == b2).all()
+        with pytest.raises(KeyError):
+            stream.pair_for_convs(["__not_a_conv__"])
+
+
 class TestDistributedDfCombine:
     def test_distributed_df_equals_driver_combine(
         self, ray_session, built, corpus, tmp_path
