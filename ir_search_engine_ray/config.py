@@ -40,6 +40,11 @@ class IndexConfig:
     # True/False = force.  The driver path concatenates all chunk df
     # columns in one process; the distributed path never does.
     df_distributed: bool | None = None
+    # pin the salt range size instead of deriving it from (N, salt_buckets).
+    # An appended index keeps its original range size (salt layout is fixed
+    # at first build), so a one-shot rebuild only byte-matches an appended
+    # one when built with the same pinned value (see append_index).
+    range_size_override: int | None = None
 
     def fingerprint(self) -> str:
         return hashlib.sha256(

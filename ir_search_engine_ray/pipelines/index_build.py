@@ -165,6 +165,126 @@ def _per_salt(items: list[dict], fn) -> list[dict]:
     )
 
 
+def _df_stage(
+    df_dir: Path, fp: str, chunk_files: list[Path], config: IndexConfig
+) -> dict[str, Any]:
+    """The df combine (A4) as a reusable stage: per-salt ``df_chunk`` rows
+    from every chunk file -> term-sorted, range-sidecar'd df parts, with
+    per-part ``n_terms``/``sum(df)`` recorded in the stage marker so finalize
+    never re-reads the vocabulary.  Shared by :func:`build_index` and
+    :func:`append_index` (an append reruns exactly this stage over the
+    extended chunk set — the combine is vocabulary-sized either way)."""
+    begin_stage(df_dir, fp, keep_partials=False)
+    distributed = config.df_distributed
+    if distributed is None:
+        from ..config import DF_DISTRIBUTED_ROWS
+
+        chunk_rows = sum(pq.read_metadata(f).num_rows for f in chunk_files)
+        distributed = chunk_rows >= DF_DISTRIBUTED_ROWS
+    ranges: dict[str, tuple[str, str]] = {}
+    if distributed and chunk_files:
+        from ray.data.aggregate import Sum
+
+        agg = (
+            ray.data.read_parquet(
+                [str(f) for f in chunk_files],
+                columns=["term", "df_chunk"],
+            )
+            .groupby("term")
+            .aggregate(Sum("df_chunk"))
+            .sort("term")
+        )
+
+        @ray.remote
+        def write_part(t: pa.Table, path: str):
+            if t.num_rows == 0:
+                return None
+            out_t = pa.table(
+                {
+                    "term": t["term"],
+                    "df": t["sum(df_chunk)"].cast(pa.int64()),
+                }
+            )
+            atomic_write_bytes(
+                Path(path), lambda tmp: pq.write_table(out_t, tmp)
+            )
+            # per-part vocabulary stats ride back with the range info so
+            # finalize never has to re-read the df table (at a
+            # billion-term vocabulary that read undid the distributed
+            # combine's memory win)
+            return (
+                Path(path).name,
+                t["term"][0].as_py(),
+                t["term"][-1].as_py(),
+                t.num_rows,
+                int(pa.compute.sum(out_t["df"]).as_py() or 0),
+            )
+
+        infos = ray.get(
+            [
+                write_part.remote(r, str(df_dir / f"part-{i:05d}.parquet"))
+                for i, r in enumerate(agg.to_arrow_refs())
+            ]
+        )
+        n_terms = n_postings = 0
+        for info in infos:
+            if info:
+                ranges[info[0]] = (info[1], info[2])
+                n_terms += info[3]
+                n_postings += info[4]
+        n_parts = len(ranges)
+    else:
+        parts = [
+            pq.read_table(f, columns=["term", "df_chunk"])
+            for f in chunk_files
+        ]
+        if parts:
+            df_agg = (
+                pa.concat_tables(parts)
+                .group_by("term")
+                .aggregate([("df_chunk", "sum")])
+                .sort_by("term")
+            )
+            df_out = pa.table(
+                {
+                    "term": df_agg["term"],
+                    "df": df_agg["df_chunk_sum"].cast(pa.int64()),
+                }
+            )
+        else:
+            df_out = pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        n_terms = df_out.num_rows
+        n_postings = int(pa.compute.sum(df_out["df"]).as_py() or 0)
+        rows_per = max(1, int(config.df_part_rows))
+        n_parts = max(1, -(-df_out.num_rows // rows_per))
+        for p in range(n_parts):
+            piece = df_out.slice(p * rows_per, rows_per)
+            name = f"part-{p:05d}.parquet"
+            atomic_write_bytes(
+                df_dir / name,
+                lambda tmp, piece=piece: pq.write_table(piece, tmp),
+            )
+            if piece.num_rows:
+                ranges[name] = (
+                    piece["term"][0].as_py(),
+                    piece["term"][-1].as_py(),
+                )
+            else:
+                ranges[name] = ("", "")
+    atomic_write_json(df_dir / "_ranges.json", ranges)
+    return mark_stage_complete(
+        df_dir,
+        fp,
+        n_parts=n_parts,
+        distributed=bool(distributed),
+        n_terms=int(n_terms),
+        n_postings=int(n_postings),
+    )
+
+
 def build_index(
     transcripts: str | Path,
     out_dir: str | Path,
@@ -234,7 +354,9 @@ def build_index(
     N = int(pa.compute.sum(convs["n_turns"]).as_py() or 0)
     metrics["n_convs"] = convs.num_rows
     _lap("convs")
-    range_size = range_size_for(N, config.salt_buckets)
+    range_size = config.range_size_override or range_size_for(
+        N, config.salt_buckets
+    )
 
     # ---- stage: blocks (tokenize -> salt-partitioned SPIMI runs + doclen)
     blocks_dir = out / "blocks"
@@ -356,117 +478,7 @@ def build_index(
     df_dir = out / "df"
     df_marker = stage_complete(df_dir, fp)
     if df_marker is None:
-        begin_stage(df_dir, fp, keep_partials=False)
-        distributed = config.df_distributed
-        if distributed is None:
-            from ..config import DF_DISTRIBUTED_ROWS
-
-            chunk_rows = sum(
-                pq.read_metadata(f).num_rows for f in chunk_files
-            )
-            distributed = chunk_rows >= DF_DISTRIBUTED_ROWS
-        ranges: dict[str, tuple[str, str]] = {}
-        if distributed and chunk_files:
-            from ray.data.aggregate import Sum
-
-            agg = (
-                ray.data.read_parquet(
-                    [str(f) for f in chunk_files],
-                    columns=["term", "df_chunk"],
-                )
-                .groupby("term")
-                .aggregate(Sum("df_chunk"))
-                .sort("term")
-            )
-
-            @ray.remote
-            def write_part(t: pa.Table, path: str):
-                if t.num_rows == 0:
-                    return None
-                out_t = pa.table(
-                    {
-                        "term": t["term"],
-                        "df": t["sum(df_chunk)"].cast(pa.int64()),
-                    }
-                )
-                atomic_write_bytes(
-                    Path(path), lambda tmp: pq.write_table(out_t, tmp)
-                )
-                # per-part vocabulary stats ride back with the range info so
-                # finalize never has to re-read the df table (at a
-                # billion-term vocabulary that read undid the distributed
-                # combine's memory win)
-                return (
-                    Path(path).name,
-                    t["term"][0].as_py(),
-                    t["term"][-1].as_py(),
-                    t.num_rows,
-                    int(pa.compute.sum(out_t["df"]).as_py() or 0),
-                )
-
-            infos = ray.get(
-                [
-                    write_part.remote(r, str(df_dir / f"part-{i:05d}.parquet"))
-                    for i, r in enumerate(agg.to_arrow_refs())
-                ]
-            )
-            n_terms = n_postings = 0
-            for info in infos:
-                if info:
-                    ranges[info[0]] = (info[1], info[2])
-                    n_terms += info[3]
-                    n_postings += info[4]
-            n_parts = len(ranges)
-        else:
-            parts = [
-                pq.read_table(f, columns=["term", "df_chunk"])
-                for f in chunk_files
-            ]
-            if parts:
-                df_agg = (
-                    pa.concat_tables(parts)
-                    .group_by("term")
-                    .aggregate([("df_chunk", "sum")])
-                    .sort_by("term")
-                )
-                df_out = pa.table(
-                    {
-                        "term": df_agg["term"],
-                        "df": df_agg["df_chunk_sum"].cast(pa.int64()),
-                    }
-                )
-            else:
-                df_out = pa.table(
-                    {"term": pa.array([], pa.string()),
-                     "df": pa.array([], pa.int64())}
-                )
-            n_terms = df_out.num_rows
-            n_postings = int(pa.compute.sum(df_out["df"]).as_py() or 0)
-            rows_per = max(1, int(config.df_part_rows))
-            n_parts = max(1, -(-df_out.num_rows // rows_per))
-            for p in range(n_parts):
-                piece = df_out.slice(p * rows_per, rows_per)
-                name = f"part-{p:05d}.parquet"
-                atomic_write_bytes(
-                    df_dir / name,
-                    lambda tmp, piece=piece: pq.write_table(piece, tmp),
-                )
-                if piece.num_rows:
-                    ranges[name] = (
-                        piece["term"][0].as_py(),
-                        piece["term"][-1].as_py(),
-                    )
-                else:
-                    ranges[name] = ("", "")
-        atomic_write_json(df_dir / "_ranges.json", ranges)
-        df_marker = mark_stage_complete(
-            df_dir,
-            fp,
-            n_parts=n_parts,
-            distributed=bool(distributed),
-            n_terms=int(n_terms),
-            n_postings=int(n_postings),
-        )
+        df_marker = _df_stage(df_dir, fp, chunk_files, config)
     # vocabulary stats come from the stage marker (per-part sums recorded at
     # write time) — the build never re-materializes the df table
     if "n_terms" not in df_marker:
