@@ -42,6 +42,7 @@ def _cmd_build(args) -> None:
             salt_buckets=args.salt_buckets,
             tokenize_batch_size=args.batch_size,
         ),
+        append=args.append,
     )
     print(
         json.dumps(
@@ -283,6 +284,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--salt-buckets", type=int, default=32)
     b.add_argument("--batch-size", type=int, default=None,
                    help="tokenize batch size; default auto (n/64 clamped)")
+    b.add_argument("--append", action="store_true",
+                   help="extend an existing index with NEW input files only "
+                        "(delta cost; config is taken from the index)")
     b.set_defaults(fn=_cmd_build)
 
     def query_args(q):

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -291,8 +292,16 @@ def build_index(
     config: IndexConfig | None = None,
     *,
     concurrency: int | None = None,
+    append: bool = False,
 ) -> IndexMeta:
-    """Build (or resume building) the index. Idempotent; returns metadata."""
+    """Build (or resume building) the index. Idempotent; returns metadata.
+
+    ``append=True`` routes to :func:`append_index`: only input files not in
+    the existing index's lineage are tokenized and only the salt partitions
+    they touch are re-merged (``config`` is then taken from the existing
+    index, not the argument)."""
+    if append:
+        return append_index(transcripts, out_dir, concurrency=concurrency)
     config = config or IndexConfig()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -523,6 +532,323 @@ def build_index(
         total_doc_len=total_doc_len,
         n_terms=n_terms,
         n_postings=int(n_postings),
+        range_size=range_size,
+        salt_buckets=config.salt_buckets,
+        mode=config.mode,
+        config=stats["config"],
+    )
+
+
+def _manifest_key(m: dict) -> tuple:
+    return (m["file"], m["kind"], int(m["salt"]), int(m["batch_index"]))
+
+
+def append_index(
+    transcripts: str | Path,
+    out_dir: str | Path,
+    *,
+    concurrency: int | None = None,
+) -> IndexMeta:
+    """Incrementally extend an existing index with NEW input files.
+
+    The 100-TB operational capability the reference approximates with its
+    rebuild-on-cache-miss driver (``search/Driver.java:26-41``): a daily
+    crawl delta should cost O(delta), not O(corpus).  Only files absent from
+    the index's recorded lineage are tokenized (into fresh doc-id ranges
+    starting at the old N), and only the salt partitions those new doc ids
+    land in are re-merged — every untouched chunk file keeps its exact
+    bytes.  The df combine and the conv-offset table are recomputed (both
+    are metadata-sized, and the df stage auto-distributes), and the salt
+    RANGE SIZE is pinned to the original build's, so salts only ever grow at
+    the tail.
+
+    Constraints (validated, ValueError on violation):
+
+    - every appended conversation must be NEW (no turns added to an indexed
+      conversation — that would renumber doc_ids), and
+    - appended conv_ids must sort AFTER every indexed conv_id, because
+      doc_id is the rank under the global (conv_id, turn_idx) order and
+      serving binary-searches the conv table on (conv_id, base) assuming
+      both are monotone together.  Time-prefixed conversation keys (the
+      normal shape of an append-only corpus) satisfy this for free; an
+      interleaving delta needs a full rebuild.
+
+    Under those constraints the appended index is BYTE-IDENTICAL in chunks/
+    and df/ to a one-shot build of the full corpus with
+    ``IndexConfig(range_size_override=<original range_size>)`` (asserted in
+    tests).  Idempotent/resumable like the build: already-appended files are
+    detected via lineage and skipped; a crash mid-append re-runs only the
+    missing pieces (content-named block files, deterministic chunk bytes).
+    """
+    out = Path(out_dir)
+    stats_old = json.loads((out / "stats.json").read_text())
+    config = IndexConfig(**stats_old["config"])
+    range_size = int(stats_old["range_size"])
+    N_old = int(stats_old["N"])
+    known = {row["path"] for row in stats_old["lineage"]}
+    new_paths = [p for p in transcript_paths(transcripts) if p not in known]
+    if not new_paths:
+        return IndexMeta.load(out)
+    lineage_all = input_lineage(sorted(known) + new_paths)
+    fp = (
+        config.fingerprint()
+        + "-"
+        + hashlib.sha256(
+            json.dumps(lineage_all, sort_keys=True).encode()
+        ).hexdigest()[:16]
+    )
+    metrics: dict[str, Any] = {"appended_files": len(new_paths)}
+    t_start = time.perf_counter()
+    _t_prev = t_start
+
+    def _lap(stage: str) -> None:
+        nonlocal _t_prev
+        now = time.perf_counter()
+        metrics[f"t_{stage}"] = round(now - _t_prev, 3)
+        _t_prev = now
+
+    # ---- stage: convs — offsets for the NEW conversations only, shifted to
+    # start at N_old; the persisted table is extended by a bounded streaming
+    # copy (row-group in, row-group out), never materialized whole
+    convs_path = out / "convs.parquet"
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if stage_complete(out / "stage_convs", fp) is None:
+        # os.replace is the extension's commit point; a crash between it and
+        # the marker leaves the table extended with no marker, so detect
+        # "already extended" by row count before re-running
+        n_convs_old = int(stats_old["metrics"]["n_convs"])
+        if pq.read_metadata(convs_path).num_rows == n_convs_old:
+            ds = read_transcripts(
+                new_paths,
+                columns=["conv_id", "turn_idx"],
+                override_num_blocks=2 * cpus,
+            )
+            hier = config.offsets_hierarchical
+            if hier is None:
+                from ..config import HIER_OFFSETS_ROWS
+
+                n_rows = sum(pq.read_metadata(p).num_rows for p in new_paths)
+                hier = n_rows >= HIER_OFFSETS_ROWS
+            new_tbl = conversation_offsets_table(ds, hierarchical=bool(hier))
+            if new_tbl.num_rows == 0:
+                raise ValueError("appended input contains no conversations")
+            pf_old = pq.ParquetFile(convs_path)
+            last = pf_old.read_row_group(
+                pf_old.metadata.num_row_groups - 1, columns=["conv_id"]
+            )
+            old_max = last["conv_id"][-1].as_py()
+            new_min = new_tbl["conv_id"][0].as_py()  # table is conv-sorted
+            if new_min <= old_max:
+                raise ValueError(
+                    f"appended conv_ids must sort after every indexed "
+                    f"conv_id (doc_id is the rank under global "
+                    f"(conv_id, turn_idx) order): new min {new_min!r} <= "
+                    f"indexed max {old_max!r}. Re-key the delta or rebuild "
+                    "from scratch."
+                )
+            new_tbl = new_tbl.set_column(
+                1, "base", pa.compute.add(new_tbl["base"], N_old)
+            )
+
+            def _copy_extend(tmp: Path) -> None:
+                with pq.ParquetWriter(tmp, pf_old.schema_arrow) as w:
+                    for rb in pf_old.iter_batches(batch_size=65536):
+                        w.write_batch(rb)
+                    for rb in new_tbl.cast(pf_old.schema_arrow).to_batches(
+                        max_chunksize=65536
+                    ):
+                        w.write_batch(rb)
+
+            tmp = convs_path.with_name(f".{convs_path.name}.append.tmp")
+            _copy_extend(tmp)
+            os.replace(tmp, convs_path)
+        # N = last base + last n_turns (base is the global prefix sum);
+        # exact whether this run extended the table or a crashed one did
+        pf = pq.ParquetFile(convs_path)
+        lastg = pf.read_row_group(
+            pf.metadata.num_row_groups - 1, columns=["base", "n_turns"]
+        )
+        mark_stage_complete(
+            out / "stage_convs",
+            fp,
+            n_convs=int(pf.metadata.num_rows),
+            N=int(lastg["base"][-1].as_py()) + int(lastg["n_turns"][-1].as_py()),
+            appended=True,
+        )
+    conv_marker = stage_complete(out / "stage_convs", fp)
+    N = int(conv_marker["N"])
+    metrics["n_convs"] = int(conv_marker["n_convs"])
+    _lap("convs")
+
+    # ---- stage: blocks — tokenize ONLY the new files into new runs beside
+    # the old ones (no begin_stage: that would clear the old fingerprint's
+    # files; block names are content-derived so retries still skip)
+    blocks_dir = out / "blocks"
+    doclen_dir = out / "doclen"
+    old_man = json.loads((blocks_dir / "manifest.json").read_text())["files"]
+    marker = stage_complete(blocks_dir, fp)
+    if marker is None:
+        atomic_write_json(blocks_dir / "_STARTED", {"fingerprint": fp})
+        atomic_write_json(doclen_dir / "_STARTED", {"fingerprint": fp})
+        # offsets broadcast covers NEW conversations only: new batches can
+        # reference no old conv_id (validated disjoint above)
+        new_convs = pq.read_table(
+            convs_path,
+            filters=[("base", ">=", N_old)],
+            columns=["conv_id", "base"],
+        )
+        offsets_ref = ray.put(
+            (
+                new_convs["conv_id"].combine_chunks(),
+                new_convs["base"].to_numpy(),
+            )
+        )
+        n_new = N - N_old
+        batch_size = config.tokenize_batch_size or min(
+            32768, max(8192, -(-n_new // 64))
+        )
+        n_batches = max(1, -(-n_new // batch_size))
+        ds = read_transcripts(new_paths, override_num_blocks=n_batches)
+        new_man = (
+            ds.map_batches(
+                assign_doc_ids,
+                fn_kwargs={"offsets_ref": offsets_ref},
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .map_batches(
+                tokenize_write_blocks,
+                fn_kwargs={
+                    "mode": config.mode,
+                    "blocks_dir": str(blocks_dir),
+                    "doclen_dir": str(doclen_dir),
+                    "range_size": range_size,
+                },
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                batch_size=None,
+            )
+            .take_all()
+        )
+        # merge manifests (a resumed append may see its own rows in the old
+        # manifest already — key dedupe keeps one copy) and drop strays
+        seen: dict[tuple, dict] = {}
+        for m in old_man + new_man:
+            seen.setdefault(_manifest_key(m), m)
+        man_rows = list(seen.values())
+        listed = {m["file"] for m in man_rows}
+        for f in list(blocks_dir.glob("block-*.arrow")) + list(
+            doclen_dir.glob("doclen-*.parquet")
+        ):
+            if f.name not in listed:
+                f.unlink()
+        atomic_write_json(blocks_dir / "manifest.json", {"files": man_rows})
+        total_doc_len = int(
+            sum(m["n_tokens"] for m in man_rows if m["kind"] == "doclen")
+        )
+        marker = mark_stage_complete(
+            blocks_dir,
+            fp,
+            n_files=len(man_rows),
+            n_posting_rows=int(
+                sum(m["n_rows"] for m in man_rows if m["kind"] == "block")
+            ),
+            n_tokens=total_doc_len,
+            total_doc_len=total_doc_len,
+            appended_runs=len(new_man),
+        )
+    _lap("blocks")
+    total_doc_len = int(marker["total_doc_len"])
+    avgdl = total_doc_len / N if N else 0.0
+    man_rows = json.loads((blocks_dir / "manifest.json").read_text())["files"]
+
+    # ---- stage: chunks — re-merge ONLY the salts the new doc range touches
+    # (all >= N_old // range_size; every other chunk file is untouched)
+    chunks_dir = out / "chunks"
+    if stage_complete(chunks_dir, fp) is None:
+        atomic_write_json(chunks_dir / "_STARTED", {"fingerprint": fp})
+        affected = {
+            int(m["salt"])
+            for m in man_rows
+            if m["kind"] == "block" and int(m["doc_hi"]) >= N_old
+        }
+        by_salt: dict[int, list[tuple[str, int]]] = {}
+        for m in sorted(
+            (m for m in man_rows if m["kind"] == "block"),
+            key=lambda m: int(m["doc_lo"]),
+        ):
+            if int(m["salt"]) in affected:
+                by_salt.setdefault(int(m["salt"]), []).append(
+                    (str(blocks_dir / m["file"]), int(m["batch_index"]))
+                )
+        for s in affected:
+            stale = chunks_dir / f"chunk-s{s:06d}.parquet"
+            if stale.exists():
+                stale.unlink()
+        items = [
+            {
+                "salt": s,
+                "files": [f for f, _ in fl],
+                "indices": [i for _, i in fl],
+            }
+            for s, fl in sorted(by_salt.items())
+        ]
+        merged = _per_salt(items, _merge_salt_task(str(chunks_dir)))
+        old_chunk_meta = {
+            int(c["salt"]): c
+            for c in json.loads(
+                (chunks_dir / "_SUCCESS").read_text()
+            ).get("chunks", [])
+            if int(c["salt"]) not in affected
+        }
+        for m in merged:
+            old_chunk_meta[int(m["salt"])] = {
+                k: (v if isinstance(v, bool) else int(v)) for k, v in m.items()
+            }
+        mark_stage_complete(
+            chunks_dir,
+            fp,
+            chunks=sorted(old_chunk_meta.values(), key=lambda m: m["salt"]),
+            appended_salts=sorted(affected),
+        )
+        metrics["remerged_salts"] = len(affected)
+    chunk_files = sorted(chunks_dir.glob("chunk-s*.parquet"))
+    _lap("chunks")
+
+    # ---- stage: df — full recombine over the extended chunk set (the same
+    # vocabulary-sized cost as one build's df stage; auto-distributes)
+    df_dir = out / "df"
+    df_marker = stage_complete(df_dir, fp)
+    if df_marker is None:
+        df_marker = _df_stage(df_dir, fp, chunk_files, config)
+    n_terms = int(df_marker["n_terms"])
+    n_postings = int(df_marker["n_postings"])
+    _lap("df")
+
+    stats = {
+        "fingerprint": fp,
+        "N": N,
+        "avg_doc_len": avgdl,
+        "total_doc_len": total_doc_len,
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+        "range_size": range_size,
+        "salt_buckets": config.salt_buckets,
+        "mode": config.mode,
+        "config": stats_old["config"],
+        "lineage": lineage_all,
+        "build_seconds": time.perf_counter() - t_start,
+        "metrics": metrics,
+        "appended": stats_old.get("appended", 0) + 1,
+    }
+    atomic_write_json(out / "stats.json", stats)
+    return IndexMeta(
+        out_dir=out,
+        N=N,
+        avg_doc_len=avgdl,
+        total_doc_len=total_doc_len,
+        n_terms=n_terms,
+        n_postings=n_postings,
         range_size=range_size,
         salt_buckets=config.salt_buckets,
         mode=config.mode,

@@ -12,6 +12,7 @@ import shutil
 from pathlib import Path
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -828,3 +829,150 @@ class TestScalePathResume:
         assert meta.N == built.N
         assert _engine_postings(out) == _engine_postings(built.out_dir)
         assert meta.df_map() == built.df_map()
+
+
+class TestAppend:
+    """Incremental append (append_index): delta-cost extension of an index.
+
+    Byte-identity contract: under the append constraints (new conversations
+    only, conv_ids sorting after the indexed ones) the appended index's
+    chunks/ and df/ are byte-identical to a one-shot build of the full
+    corpus pinned to the original salt range size."""
+
+    @pytest.fixture(scope="class")
+    def split_corpus(self, corpus, tmp_path_factory):
+        """The fixture transcripts split into three conv-ordered slices."""
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("append_corpus")
+        t = pq.read_table(corpus / "transcripts")
+        convs = sorted(set(t["conv_id"].to_pylist()))
+        cuts = [convs[: len(convs) // 2], convs[len(convs) // 2 : -2], convs[-2:]]
+        dirs = []
+        for i, chunk in enumerate(cuts):
+            d = root / f"slice{i}"
+            d.mkdir()
+            import pyarrow.compute as pc
+
+            part = t.filter(pc.is_in(t["conv_id"], value_set=pa.array(chunk)))
+            pq.write_table(part, d / "part-00000.parquet")
+            dirs.append(d)
+        return root, dirs
+
+    def _bytes(self, d: Path) -> dict[str, bytes]:
+        return {
+            f.name: f.read_bytes()
+            for f in sorted(d.glob("*.parquet"))
+        }
+
+    def test_append_matches_oneshot_bytes(
+        self, ray_session, split_corpus, tmp_path
+    ):
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import (
+            append_index,
+            build_index,
+        )
+
+        root, dirs = split_corpus
+        inc = tmp_path / "inc"
+        m0 = build_index(str(dirs[0]), inc, concurrency=2)
+        m1 = build_index(str(dirs[1]), inc, concurrency=2, append=True)
+        assert m1.N > m0.N
+        assert m1.range_size == m0.range_size
+        m2 = append_index(str(dirs[2]), inc, concurrency=2)
+        assert m2.N > m1.N
+
+        # one-shot over all three slices, salt layout pinned to the first
+        # build's range size
+        full_dir = tmp_path / "full_in"
+        full_dir.mkdir()
+        for i, d in enumerate(dirs):
+            (full_dir / f"part-{i:05d}.parquet").symlink_to(
+                d / "part-00000.parquet"
+            )
+        one = tmp_path / "oneshot"
+        mo = build_index(
+            str(full_dir),
+            one,
+            IndexConfig(range_size_override=m0.range_size),
+            concurrency=2,
+        )
+        assert (m2.N, m2.n_terms, m2.n_postings, m2.total_doc_len) == (
+            mo.N,
+            mo.n_terms,
+            mo.n_postings,
+            mo.total_doc_len,
+        )
+        assert self._bytes(inc / "chunks") == self._bytes(one / "chunks")
+        assert self._bytes(inc / "df") == self._bytes(one / "df")
+        assert (inc / "df" / "_ranges.json").read_text() == (
+            one / "df" / "_ranges.json"
+        ).read_text()
+        # conv table logically identical (written in two shapes)
+        ti = pq.read_table(inc / "convs.parquet")
+        to = pq.read_table(one / "convs.parquet")
+        assert ti.combine_chunks().equals(to.combine_chunks())
+
+        # serving equivalence on top of byte identity
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        qi = QueryEngine(m2, local=True)
+        qo = QueryEngine(mo, local=True)
+        for text in ("flow mach number", "boundary layer", "experimental"):
+            assert qi.query(text, k=5) == qo.query(text, k=5)
+
+    def test_append_is_idempotent(self, ray_session, split_corpus, tmp_path):
+        from ir_search_engine_ray.pipelines.index_build import (
+            append_index,
+            build_index,
+        )
+
+        root, dirs = split_corpus
+        out = tmp_path / "idx"
+        build_index(str(dirs[0]), out, concurrency=2)
+        m1 = append_index(str(dirs[1]), out, concurrency=2)
+        chunks1 = self._bytes(out / "chunks")
+        # same delta again: no new files -> no-op
+        m2 = append_index(str(dirs[1]), out, concurrency=2)
+        assert m2.N == m1.N
+        assert self._bytes(out / "chunks") == chunks1
+
+    def test_append_rejects_interleaved_convs(
+        self, ray_session, split_corpus, tmp_path
+    ):
+        from ir_search_engine_ray.pipelines.index_build import (
+            append_index,
+            build_index,
+        )
+
+        root, dirs = split_corpus
+        out = tmp_path / "idx"
+        # index the MIDDLE slice; appending the first (conv_ids sort before)
+        # must be refused — doc_id is the global (conv_id, turn_idx) rank
+        build_index(str(dirs[1]), out, concurrency=2)
+        with pytest.raises(ValueError, match="sort after"):
+            append_index(str(dirs[0]), out, concurrency=2)
+
+    def test_append_rejects_existing_conversation(
+        self, ray_session, split_corpus, tmp_path
+    ):
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.pipelines.index_build import (
+            append_index,
+            build_index,
+        )
+
+        root, dirs = split_corpus
+        out = tmp_path / "idx"
+        build_index(str(dirs[0]), out, concurrency=2)
+        # re-ship slice0's rows under a different file name: same conv_ids
+        dup = tmp_path / "dup_in"
+        dup.mkdir()
+        t = pq.read_table(dirs[0] / "part-00000.parquet")
+        pq.write_table(t, dup / "part-99999.parquet")
+        with pytest.raises(ValueError, match="sort after"):
+            append_index(str(dup), out, concurrency=2)
