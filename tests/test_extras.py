@@ -217,13 +217,108 @@ class TestMultimodal:
         for fa, fb in zip(a["features"], b["features"]):
             assert np.allclose(fa, fb)
 
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_gated_per_kind(self):
         from ir_search_engine_ray.extras import multimodal
 
-        if multimodal._have_real_decoder():  # pragma: no cover
-            pytest.skip("decoder present")
-        with pytest.raises(NotImplementedError):
-            multimodal.DecodeMedia(real=True)
+        avail = multimodal.available_decoders()
+        assert avail["audio"] is True  # stdlib wave — always live
+        missing = [k for k, ok in avail.items() if not ok]
+        if missing:
+            # asking for an undecodable kind fails AT CONSTRUCTION
+            with pytest.raises(NotImplementedError):
+                multimodal.DecodeMedia(real=True, kinds=tuple(missing))
+        # restricting to decodable kinds always constructs
+        ok_kinds = tuple(k for k, ok in avail.items() if ok)
+        multimodal.DecodeMedia(real=True, kinds=ok_kinds)
+
+    def test_real_audio_decode_live(self, ray_session):
+        """The real=True audio path end-to-end (stdlib WAV codec): RMS
+        window features reflect actual signal energy, silence decodes to
+        zero, identical payloads to identical features."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import multimodal
+
+        loud = multimodal.synth_wav(1000, 440.0, amplitude=0.9)
+        quiet = multimodal.synth_wav(1000, 440.0, amplitude=0.1)
+        silent = multimodal.synth_wav(1000, 440.0, amplitude=0.0)
+        t = pa.table(
+            {
+                "media_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "kind": pa.array(["audio"] * 4),
+                "payload": pa.array(
+                    [loud, quiet, silent, loud], type=pa.binary()
+                ),
+                "width": pa.array([0] * 4, type=pa.int32()),
+                "height": pa.array([0] * 4, type=pa.int32()),
+                "duration_ms": pa.array([1000] * 4, type=pa.int32()),
+            }
+        )
+        out = (
+            multimodal.decode_features(
+                ray.data.from_arrow(t),
+                feature_dim=8,
+                real=True,
+                kinds=("audio",),
+                batch_size=2,
+            )
+            .to_pandas()
+            .sort_values("media_id", ignore_index=True)
+        )
+        f = [np.asarray(v) for v in out["features"]]
+        assert all(len(v) == 8 for v in f)
+        # sine RMS ~ amplitude/sqrt(2); windows are uniform for a pure tone
+        assert np.allclose(f[0], 0.9 / np.sqrt(2), atol=0.01)
+        assert np.allclose(f[1], 0.1 / np.sqrt(2), atol=0.01)
+        assert np.allclose(f[2], 0.0)
+        assert np.allclose(f[0], f[3])  # identical payloads
+
+    @pytest.mark.skipif(
+        not __import__(
+            "ir_search_engine_ray.extras.multimodal",
+            fromlist=["available_decoders"],
+        ).available_decoders()["image"],
+        reason="PIL not installed",
+    )
+    def test_real_image_decode_live(self, ray_session):  # pragma: no cover
+        """Off-sandbox: PIL decode + resize round-trip on a generated PNG."""
+        import io
+
+        import ray.data
+        from PIL import Image
+
+        from ir_search_engine_ray.extras import multimodal
+
+        def png(shade: int) -> bytes:
+            buf = io.BytesIO()
+            Image.new("L", (32, 32), color=shade).save(buf, format="PNG")
+            return buf.getvalue()
+
+        t = pa.table(
+            {
+                "media_id": pa.array([0, 1], type=pa.int64()),
+                "kind": pa.array(["image", "image"]),
+                "payload": pa.array([png(0), png(255)], type=pa.binary()),
+                "width": pa.array([32, 32], type=pa.int32()),
+                "height": pa.array([32, 32], type=pa.int32()),
+                "duration_ms": pa.array([0, 0], type=pa.int32()),
+            }
+        )
+        out = (
+            multimodal.decode_features(
+                ray.data.from_arrow(t), feature_dim=4, real=True,
+                kinds=("image",),
+            )
+            .to_pandas()
+            .sort_values("media_id", ignore_index=True)
+        )
+        assert np.allclose(out["features"][0], 0.0)
+        assert np.allclose(out["features"][1], 1.0)
+        resized = multimodal.resize_images(
+            ray.data.from_arrow(t), 8, 8, real=True
+        ).to_pandas()
+        for p in resized["payload"]:
+            assert Image.open(io.BytesIO(p)).size == (8, 8)
 
 
 class TestWindows:
@@ -321,15 +416,20 @@ class TestWindows:
         assert set(frames["media_id"]) <= set(vids.index)
         assert (frames["frame_ts_ms"] % 5000 == 0).all()
 
-    def test_resize_real_is_stubbed(self):
+    def test_resize_real_gated_on_codec(self):
         from ir_search_engine_ray.extras import multimodal
 
-        if multimodal._have_real_decoder():  # pragma: no cover
-            pytest.skip("decoder present")
-        with pytest.raises(NotImplementedError):
+        avail = multimodal.available_decoders()
+        if avail["image"]:  # pragma: no cover
             multimodal.ResizeImages(32, 32, real=True)
-        with pytest.raises(NotImplementedError):
+        else:
+            with pytest.raises(NotImplementedError):
+                multimodal.ResizeImages(32, 32, real=True)
+        if avail["video"]:  # pragma: no cover
             multimodal.SampleFrames(real=True)
+        else:
+            with pytest.raises(NotImplementedError):
+                multimodal.SampleFrames(real=True)
 
 
 class TestCurate:
