@@ -280,7 +280,7 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("transcripts")
     b.add_argument("out")
     b.add_argument("--mode", default="full",
-                   choices=("full", "full_nostem", "simple"))
+                   choices=("full", "full_nostem", "full_lemma", "simple"))
     b.add_argument("--salt-buckets", type=int, default=32)
     b.add_argument("--batch-size", type=int, default=None,
                    help="tokenize batch size; default auto (n/64 clamped)")

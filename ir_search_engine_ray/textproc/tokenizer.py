@@ -40,7 +40,7 @@ from .tokenfilter import token_filter
 _TAG = re.compile(r"</?\w+>", re.ASCII)
 _SIMPLE_SPLIT = re.compile(r"[^a-z]+")
 
-MODES = ("full", "full_nostem", "simple")
+MODES = ("full", "full_nostem", "full_lemma", "simple")
 
 
 def normalize_text(text: str) -> str:
@@ -71,11 +71,14 @@ class TokenPipeline:
     (``index/Indexer.java:82-103``: CoreNLP lemma when ``useStemming`` is
     off): any ``str -> str`` callable applied to each post-filter,
     post-stopword piece.  Defaults per mode (``full`` -> Porter,
-    ``full_nostem``/``simple`` -> identity); pass e.g. a lemmatizer to
-    reproduce the reference's lemma index.  Distributed builds keep the
-    named modes (config fingerprints must serialize); the hook serves
-    library/query-side users and custom build scripts, where the callable
-    ships to workers via the stage closure.
+    ``full_lemma`` -> the deterministic rule lemmatizer
+    (``textproc/lemmatize.py``, fingerprint-safe so distributed builds can
+    name it: ``IndexConfig(mode="full_lemma")``), ``full_nostem``/``simple``
+    -> identity); pass e.g. ``spacy_normalizer()`` for model-backed lemmas.
+    Custom callables serve library/query-side users and build scripts,
+    where the callable ships to workers via the stage closure — named
+    modes only for resumable distributed builds (config fingerprints must
+    serialize).
     """
 
     def __init__(self, mode: str = "full", *, normalizer=None) -> None:
@@ -83,7 +86,14 @@ class TokenPipeline:
             raise ValueError(f"unknown tokenizer mode {mode!r}; want one of {MODES}")
         self.mode = mode
         if normalizer is None:
-            normalizer = porter_stem if mode == "full" else _identity
+            if mode == "full":
+                normalizer = porter_stem
+            elif mode == "full_lemma":
+                from .lemmatize import rule_lemma
+
+                normalizer = rule_lemma
+            else:
+                normalizer = _identity
         self.normalizer = normalizer
         self._cache: dict[str, tuple[str, ...]] = {}
 

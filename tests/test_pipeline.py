@@ -976,3 +976,60 @@ class TestAppend:
         pq.write_table(t, dup / "part-99999.parquet")
         with pytest.raises(ValueError, match="sort after"):
             append_index(str(dup), out, concurrency=2)
+
+
+class TestLemmaMode:
+    """mode='full_lemma': the reference's lemma-index behavior
+    (``index/Indexer.java:82-103`` with useStemming off) via the
+    deterministic rule lemmatizer — distributed build, query serving and
+    pure-Python oracle all share the pipeline."""
+
+    def test_lemma_build_rank_identity(self, ray_session, corpus, tmp_path):
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.oracle import build_oracle_index, oracle_query
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "idx",
+            IndexConfig(mode="full_lemma"),
+            concurrency=2,
+        )
+        assert meta.mode == "full_lemma"
+        t = pq.read_table(corpus / "transcripts")
+        rows = list(
+            zip(
+                t["conv_id"].to_pylist(),
+                t["turn_idx"].to_pylist(),
+                t["text"].to_pylist(),
+            )
+        )
+        oidx = build_oracle_index(rows, "full_lemma")
+        eng = QueryEngine(meta)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries[:8]:
+            want = oracle_query(oidx, qt, "w2", 10)
+            got = eng.query(qt, "w2", 10)
+            assert [r["doc_id"] for r in got] == [d for d, _ in want], qt
+            assert np.allclose(
+                [r["score"] for r in got], [s for _, s in want], rtol=1e-9
+            ), qt
+
+    def test_lemma_index_differs_from_stemmed(self, ray_session, corpus, tmp_path, built):
+        """A lemma index is a different artifact than a Porter index — the
+        reference user's useStemming switch changes the on-disk terms."""
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "idx2",
+            IndexConfig(mode="full_lemma"),
+            concurrency=2,
+        )
+        lemma_terms = set(_engine_postings(meta.out_dir))
+        stem_terms = set(_engine_postings(built.out_dir))
+        assert lemma_terms != stem_terms
+        # lemma terms are real surface lemmas, not Porter truncations
+        assert not {t for t in lemma_terms if t.endswith(("studi", "famili"))}

@@ -5,6 +5,8 @@ Expected values are derived by hand-tracing the reference code
 case's comment.
 """
 
+import pytest
+
 from ir_search_engine_ray.textproc import (
     STOPWORDS,
     TokenPipeline,
@@ -229,6 +231,62 @@ class TestNormalizerHook:
         # defaults unchanged: full -> Porter, full_nostem -> identity
         assert TokenPipeline("full")("jumps") == ["jump"]
         assert TokenPipeline("full_nostem")("jumps") == ["jumps"]
+
+
+class TestRuleLemma:
+    def test_vectors(self):
+        from ir_search_engine_ray.textproc import rule_lemma
+
+        cases = {
+            # plural nouns / 3sg verbs
+            "cats": "cat", "studies": "study", "boxes": "box",
+            "churches": "church", "classes": "class", "wishes": "wish",
+            "heroes": "hero", "men": "man", "children": "child",
+            "analyses": "analysis", "matrices": "matrix",
+            # -ed / -ing with undoubling and e-restoration
+            "walked": "walk", "hopped": "hop", "hoped": "hope",
+            "saved": "save", "running": "run", "falling": "fall",
+            "passing": "pass", "studied": "study", "visited": "visit",
+            "created": "create", "using": "use",
+            # irregular verbs
+            "went": "go", "taken": "take", "written": "write",
+            "ran": "run", "lying": "lie",
+            # invariants: short words and -ss/-us/-is endings untouched
+            "gas": "gas", "bus": "bus", "basis": "basis", "was": "was",
+            "red": "red", "thing": "thing", "flow": "flow",
+        }
+        for tok, want in cases.items():
+            assert rule_lemma(tok) == want, (tok, rule_lemma(tok), want)
+
+    def test_full_lemma_mode(self):
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        pipe = TokenPipeline("full_lemma")
+        # lemmas, not Porter stems: 'studies' -> 'study' (Porter: 'studi')
+        assert pipe("the children studied boundary layers") == [
+            "child", "study", "boundary", "layer",
+        ]
+        assert TokenPipeline("full")("studies") == ["studi"]
+
+    def test_lemma_idempotent_on_outputs(self):
+        """Applying the lemmatizer to its own output is a fixpoint for the
+        vector cases — index and query sides always agree."""
+        from ir_search_engine_ray.textproc import rule_lemma
+
+        for tok in ("cats", "running", "went", "analyses", "hoped"):
+            lem = rule_lemma(tok)
+            assert rule_lemma(lem) == lem
+
+    def test_spacy_normalizer_gated(self):
+        from ir_search_engine_ray.textproc import spacy_normalizer
+
+        try:
+            import spacy  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                spacy_normalizer()
+        else:  # pragma: no cover
+            pytest.skip("spaCy present; factory exercised elsewhere")
 
 
 class TestPorterProperties:
