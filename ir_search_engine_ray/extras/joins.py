@@ -1,0 +1,145 @@
+"""As-of join: match each left row to the latest right row at-or-before it
+(per key) — the temporal join Ray Data lacks natively.
+
+Classic uses: event attribution (purchase -> most recent prior click),
+joining metrics to the last config change, trade -> latest quote.  DuckDB
+has a native ``ASOF JOIN``, which is the correctness oracle.
+
+Ray-Data-native implementation (composition, not a raw-actor shuffle): tag
+both sides, ``union``, one ``groupby(by).map_groups`` — the single
+all-to-all is the hash shuffle on the join key, identical in shape to any
+equi-join.  Inside a group both sides are sorted once and every left row
+resolves with one vectorized ``np.searchsorted``; no per-row Python.
+
+Partitioning assumption (documented per the round brief): one key's rows
+fit one task.  That holds for any realistic key cardinality (a key with
+billions of rows is a data-model smell); for a pathological mega-key,
+pre-split the timeline into ranges and carry each range's last right row
+forward — the same segment-merge trick ``windows.sessionize(split_us=...)``
+uses.  Not auto-enabled: boundary handoff changes the execution plan and
+should be an explicit caller choice.
+
+Tie semantics (locked, hash-stable): when several right rows share the
+matched timestamp, the reported ``matched_<on>`` is that timestamp (always
+deterministic); requested value columns come from the LAST such row under
+a full (on, *value_cols) sort — deterministic for any input order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_SIDE = "__asof_side"
+
+
+def _project(ds: ray.data.Dataset, cols: list[str], side: int,
+             all_cols: list[str], types: dict) -> ray.data.Dataset:
+    """Project to the union schema, null-padding the other side's columns."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        out: dict = {}
+        for c in all_cols:
+            if c in batch.column_names:
+                out[c] = batch[c].cast(types[c])
+            else:
+                out[c] = pa.nulls(batch.num_rows, type=types[c])
+        out[_SIDE] = pa.array(
+            np.full(batch.num_rows, side, dtype=np.int8), type=pa.int8()
+        )
+        return pa.table(out)
+
+    return ds.select_columns(cols).map_batches(fix, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    left_cols: list[str],
+    right_value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> ray.data.Dataset:
+    """For each left row: the latest right row with ``right.on <= left.on``
+    (``<`` when ``strict``) and equal ``by`` key.
+
+    Output: ``left_cols`` + ``matched_<on>`` (null when no prior right row)
+    + ``matched_<col>`` for each requested right value column.
+    """
+    right_value_cols = right_value_cols or []
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(dict.fromkeys([by, on, *left_cols]))
+    rcols = list(dict.fromkeys([by, on, *right_value_cols]))
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
+    u = _project(left_ds, lcols, 0, all_cols, types).union(
+        _project(right_ds, rcols, 1, all_cols, types)
+    )
+    on_type = types[on]
+    out_left = lcols
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        lrows = group.filter(pa.array(is_left))
+        rrows = group.filter(pa.array(~is_left))
+        lcount = lrows.num_rows
+        if lcount == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=types[c]) for c in out_left},
+                    f"matched_{on}": pa.array([], type=on_type),
+                    **{
+                        f"matched_{c}": pa.array([], type=types[c])
+                        for c in right_value_cols
+                    },
+                }
+            )
+        lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if rrows.num_rows:
+            # full sort on (on, *value_cols): the LAST row per timestamp is
+            # the deterministic tie-winner
+            rrows = rrows.sort_by(
+                [(on, "ascending")]
+                + [(c, "ascending") for c in right_value_cols]
+            )
+            ron = rrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sidx = np.searchsorted(
+                ron, lon, side="left" if strict else "right"
+            ) - 1
+        else:
+            ron = np.empty(0, dtype=np.int64)
+            sidx = np.full(lcount, -1, dtype=np.int64)
+        have = sidx >= 0
+        cols: dict = {c: lrows[c] for c in out_left}
+        if ron.size == 0:
+            cols[f"matched_{on}"] = pa.nulls(lcount, type=on_type)
+            for c in right_value_cols:
+                cols[f"matched_{c}"] = pa.nulls(lcount, type=types[c])
+            return pa.table(cols)
+        safe = np.clip(sidx, 0, None)
+        m_on = np.where(have, ron[safe], 0)
+        m_arr = pa.array(m_on, type=pa.int64())
+        if on_type != pa.int64():
+            m_arr = m_arr.cast(on_type)
+        if not have.all():
+            m_arr = pa.compute.if_else(
+                pa.array(~have), pa.nulls(lcount, type=on_type), m_arr
+            )
+        cols[f"matched_{on}"] = m_arr
+        for c in right_value_cols:
+            vals = rrows[c].take(pa.array(safe))
+            if not have.all():
+                vals = pa.compute.if_else(
+                    pa.array(~have), pa.nulls(lcount, type=types[c]), vals
+                )
+            cols[f"matched_{c}"] = vals
+        return pa.table(cols)
+
+    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")

@@ -35,7 +35,19 @@ from ray.data.aggregate import Count, Max, Sum
 
 from ..config import IndexConfig, QueryConfig
 from ..datagen import fixture_dir
-from ..extras import ann, dedup, splits, textstats, windows
+from ..extras import (
+    aggregates,
+    ann,
+    decontam,
+    dedup,
+    joins,
+    packing,
+    pii,
+    splits,
+    textclean,
+    textstats,
+    windows,
+)
 from ..sources.transcripts import read_transcripts
 from ..stages.docids import assign_doc_ids, conversation_offsets, docmap_table
 from ..textproc import TokenPipeline
@@ -523,6 +535,117 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     # (pigeonhole: <4 differing bits leave at least one band identical), so
     # the exact all-pairs SQL oracle must match bit for bit
     return dedup.simhash_candidate_pairs(_docs_ds(sf_dir), max_hamming=3)
+
+
+def q_decontam_scan(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: the 'benchmark' is the deterministic
+    doc_id % 20 == 0 slice of the corpus itself, so every benchmark doc (and
+    any near-copy) must flag contaminated.  Hash-set probe == the SQL
+    oracle's exact string join as long as 64-bit n-gram hashes don't
+    collide (2k docs x ~60 grams: collision odds ~1e-11)."""
+
+    def bench_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % 20 == 0))
+
+    docs = _docs_ds(sf_dir)
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return decontam.contamination_scan(docs, bench, n=5, min_hits=1)
+
+
+def q_pii_scan(sf_dir: str) -> ray.data.Dataset:
+    """PII detect+redact.  The synthetic corpus is PII-free, so both sides
+    first enrich the text with DETERMINISTIC doc_id-derived PII (email /
+    IPv4 / phone / SSN shapes on different modulus classes) — the operator
+    is then exercised on real extractions and the redacted text itself is
+    hash-compared."""
+    return _docs_ds(sf_dir).map_batches(
+        _pii_enrich, batch_format="pyarrow"
+    ).map_batches(pii.pii_scan, batch_format="pyarrow")
+
+
+def _pii_enrich(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy()
+    out = []
+    for i, t in zip(ids, batch["text"].to_pylist()):
+        i = int(i)
+        if i % 2 == 0:
+            t += f" contact u{i}@example.com"
+        if i % 3 == 0:
+            t += f" from 10.0.{i % 256}.7"
+        if i % 5 == 0:
+            t += f" call 555-{i % 900 + 100}-{i % 9000 + 1000}"
+        if i % 7 == 0:
+            t += f" id {i % 900 + 100}-{i % 90 + 10}-{i % 9000 + 1000}"
+        out.append(t)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "text": pa.array(out, type=pa.string())}
+    )
+
+
+def q_asof_attribution(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each purchase event -> the user's most recent prior (or
+    simultaneous) click.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        override_num_blocks=8,
+    )
+
+    def of_type(kind: str, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pa.compute.equal(b["event_type"], kind)
+            ).select(cols)
+
+        return fn
+
+    left = ev.map_batches(
+        of_type("purchase", ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        of_type("click", ["user_id", "ts"]), batch_format="pyarrow"
+    )
+    out = joins.asof_join(
+        left, right, by="user_id", on="ts", left_cols=["event_id"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["last_click_ts" if c == "matched_ts" else c
+             for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """C4-style intra-doc line dedup; the fixture corpus has no newlines so
+    lines are 4-token reflow windows (exactly mirrored in SQL)."""
+    return _docs_ds(sf_dir).map_batches(
+        lambda b: textclean.dedup_lines(b, line_tokens=4),
+        batch_format="pyarrow",
+    )
+
+
+def q_doclen_quantiles(sf_dir: str) -> pa.Table:
+    return aggregates.exact_quantiles(
+        _docs_ds(sf_dir), "n_chars", qs=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+def q_top_terms_lang(sf_dir: str) -> ray.data.Dataset:
+    return aggregates.top_terms_per_group(
+        _docs_ds(sf_dir), group_col="lang", k=10
+    )
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing (distributed exclusive prefix sum); small
+    max_tokens so boundary-straddling docs actually occur at sf0.01."""
+    return packing.pack_sequences(
+        _docs_ds(sf_dir), max_tokens=256, bucket_size=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1084,7 +1207,147 @@ FROM (
 )
 GROUP BY 1, 2
 """,
+        "decontam_scan": """
+WITH pts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS fts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(fts[i : i+4], ' ') AS gram
+  FROM pts, unnest(range(1, len(fts) - 3)) AS t(i)
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 0),
+hits AS (SELECT dg.doc_id, count(*) AS n FROM dg JOIN bench USING (gram)
+         GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_overlap_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "pii_scan": _sql_pii_scan(),
+        "asof_attribution": """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "line_dedup": """
+WITH pts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS fts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(fts[(i-1)*4+1 : least(i*4, len(fts))], ' ') AS line
+  FROM pts,
+       unnest(range(1, CAST(ceil(len(fts)/4.0) AS BIGINT) + 1)) AS t(i)
+),
+firsts AS (SELECT doc_id, line, min(line_no) AS keep_no FROM lines
+           GROUP BY 1, 2),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY keep_no) AS text_clean
+        FROM firsts GROUP BY 1),
+nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+SELECT d.doc_id, coalesce(nl.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN nl ON d.doc_id = nl.doc_id
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+        "doclen_quantiles": """
+WITH r AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars) - 1 AS rnk
+           FROM documents),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(q.q AS DOUBLE) AS quantile, r.v AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
+JOIN r ON r.rnk = CAST(floor(q.q * ((SELECT n FROM n) - 1)) AS BIGINT)
+""",
+        "top_terms_lang": """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf2 AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+rk AS (SELECT lang, term, cnt,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, term ASC) AS rank
+       FROM tf2)
+SELECT lang, term, cnt, rank FROM rk WHERE rank <= 10
+""",
+        "pack_sequences": """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM c
+)
+SELECT doc_id, n_tokens,
+       (start // 256)::BIGINT AS seq_id,
+       (start % 256)::BIGINT AS seq_offset,
+       (CASE WHEN n_tokens > 0 THEN (start + n_tokens - 1) // 256
+             ELSE start // 256 END)::BIGINT AS seq_id_end
+FROM p
+""",
     }
+
+
+def _sql_pii_scan() -> str:
+    """The PII oracle is GENERATED from ``pii.PII_PATTERNS`` — the same
+    pattern strings, category order and replacement tokens the Ray operator
+    compiles, so the two sides cannot drift.  Chained CTEs mirror the
+    progressive redaction (each category counts against the previous
+    category's redacted text)."""
+    from ..extras.pii import PII_PATTERNS
+
+    enrich = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || (doc_id % 900 + 100) || '-'
+                 || (doc_id % 9000 + 1000) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' id ' || (doc_id % 900 + 100) || '-'
+                 || (doc_id % 90 + 10) || '-'
+                 || (doc_id % 9000 + 1000) ELSE '' END
+    AS t FROM documents"""
+    ctes = [f"t0 AS ({enrich})"]
+    carried: list[str] = []
+    prev = "t0"
+    for idx, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        cols = ", ".join(["doc_id", *carried])
+        ctes.append(
+            f"s{idx} AS (SELECT {cols},\n"
+            f"  len(regexp_extract_all(t, '{pat}')) AS n_{name},\n"
+            f"  regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{idx}"
+    total = " + ".join(carried)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {', '.join(carried)}, "
+        + f"({total})::BIGINT AS n_pii, t AS text_redacted FROM {prev}"
+    )
 
 
 _SQL_ANN_EXACT = """
@@ -1172,4 +1435,11 @@ def build_queries() -> dict:
         "curated_docs": q_curated_docs,
         "dataset_split": q_dataset_split,
         "corpus_stats": q_corpus_stats,
+        "decontam_scan": q_decontam_scan,
+        "pii_scan": q_pii_scan,
+        "asof_attribution": q_asof_attribution,
+        "line_dedup": q_line_dedup,
+        "doclen_quantiles": q_doclen_quantiles,
+        "top_terms_lang": q_top_terms_lang,
+        "pack_sequences": q_pack_sequences,
     }

@@ -990,3 +990,288 @@ class TestEmbeddingMethodParam:
         assert key(exact) == key(base)
         with pytest.raises(ValueError):
             dedup.embedding_cosine_pairs(ds, threshold=0.5, method="bogus")
+
+
+class TestDecontam:
+    def test_planted_overlap_flags(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import decontam
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        # contains the benchmark 5-gram run
+                        "xx alpha beta gamma delta epsilon yy",
+                        # shuffled words: no contiguous 5-gram overlap
+                        "epsilon delta gamma beta alpha zeta",
+                        "totally unrelated text about other things here",
+                        # shorter than n tokens
+                        "tiny doc",
+                    ]
+                ),
+            }
+        )
+        bench = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([99], type=pa.int64()),
+                      "text": pa.array([bench_text])})
+        )
+        out = (
+            decontam.contamination_scan(
+                ray.data.from_arrow(docs), bench, n=5, min_hits=1
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["contaminated"].tolist() == [True, False, False, False]
+        assert out["n_overlap_ngrams"].tolist()[0] == 1
+
+    def test_decontaminate_filters(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import decontam
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(
+                    ["one two three four five six", "safe words only right here"]
+                ),
+            }
+        )
+        bench = ray.data.from_arrow(
+            pa.table({"text": pa.array(["zero one two three four five"])})
+        )
+        kept = decontam.decontaminate(
+            ray.data.from_arrow(docs), bench, n=5
+        ).to_pandas()
+        assert kept["doc_id"].tolist() == [1]
+
+
+class TestPii:
+    def test_counts_and_redaction(self, ray_session):
+        from ir_search_engine_ray.extras import pii
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a@b.com or x.y+z@sub.example.org ip 10.0.3.7 "
+                        "call 555-123-4567 ssn 123-45-6789",
+                        "no pii here",
+                    ]
+                ),
+            }
+        )
+        out = pii.pii_scan(t).to_pydict()
+        assert out["n_email"] == [2, 0]
+        assert out["n_ipv4"] == [1, 0]
+        assert out["n_phone"] == [1, 0]
+        assert out["n_ssn"] == [1, 0]
+        assert out["n_pii"] == [5, 0]
+        red = out["text_redacted"][0]
+        assert "[EMAIL]" in red and "[IP]" in red
+        assert "[PHONE]" in red and "[SSN]" in red
+        assert "a@b.com" not in red and "10.0.3.7" not in red
+        assert out["text_redacted"][1] == "no pii here"
+
+    def test_progressive_order_no_double_count(self, ray_session):
+        from ir_search_engine_ray.extras import pii
+
+        # the SSN-shaped digits live inside an email local part: the email
+        # category claims them first, ssn must not fire
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array(["reach 123-45-6789@example.com today"]),
+            }
+        )
+        out = pii.pii_scan(t).to_pydict()
+        assert out["n_email"] == [1]
+        assert out["n_ssn"] == [0]
+
+
+class TestAsofJoin:
+    def test_backward_match_and_nulls(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+                "ts": pa.array([10, 5, 7, 9], type=pa.int64()),
+                "lid": pa.array([100, 101, 102, 103], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array([3, 7, 12, 7], type=pa.int64()),
+                "v": pa.array([30, 70, 120, 700], type=pa.int64()),
+            }
+        )
+        out = (
+            joins.asof_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                by="k",
+                on="ts",
+                left_cols=["lid"],
+                right_value_cols=["v"],
+            )
+            .to_pandas()
+            .sort_values("lid", ignore_index=True)
+        )
+        # lid 100 (k1,ts10) -> right ts7; lid 101 (k1,ts5) -> ts3;
+        # lid 102 (k2,ts7) -> ts7 (non-strict: equal matches);
+        # lid 103 (k3) -> no right side at all -> null
+        assert out["matched_ts"].tolist()[:3] == [7, 3, 7]
+        assert pd_isna(out["matched_ts"][3])
+        assert out["matched_v"].tolist()[:3] == [70, 30, 700]
+
+    def test_strict_excludes_equal(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "ts": pa.array([7], type=pa.int64()),
+                "lid": pa.array([1], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([7, 3], type=pa.int64()),
+            }
+        )
+        out = joins.asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            by="k",
+            on="ts",
+            left_cols=["lid"],
+            strict=True,
+        ).to_pandas()
+        assert out["matched_ts"].tolist() == [3]
+
+    def test_tie_takes_last_by_value_sort(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "ts": pa.array([9], type=pa.int64()),
+                "lid": pa.array([1], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([9, 9], type=pa.int64()),
+                "v": pa.array([5, 2], type=pa.int64()),
+            }
+        )
+        out = joins.asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            by="k",
+            on="ts",
+            left_cols=["lid"],
+            right_value_cols=["v"],
+        ).to_pandas()
+        # deterministic tie-break: last row under (ts, v) sort -> v=5
+        assert out["matched_v"].tolist() == [5]
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+class TestTextClean:
+    def test_newline_dedup(self, ray_session):
+        from ir_search_engine_ray.extras import textclean
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array(["nav\nbody one\nnav\nbody two\nnav"]),
+            }
+        )
+        out = textclean.dedup_lines(t).to_pydict()
+        assert out["n_lines"] == [5]
+        assert out["n_kept"] == [3]
+        assert out["text_clean"] == ["nav\nbody one\nbody two"]
+
+    def test_reflow_dedup(self, ray_session):
+        from ir_search_engine_ray.extras import textclean
+
+        # 'a b a b' in 2-token lines -> 'a b' twice -> kept once
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["a b a b c", ""]),
+            }
+        )
+        out = textclean.dedup_lines(t, line_tokens=2).to_pydict()
+        assert out["n_lines"] == [3, 0]
+        assert out["n_kept"] == [2, 0]
+        assert out["text_clean"] == ["a b\nc", ""]
+
+
+class TestAggregates:
+    def test_exact_quantiles_lower_order_stat(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import aggregates
+
+        # values 1..10; q=0.5 -> rank floor(0.5*9)=4 -> value 5
+        t = pa.table({"v": pa.array(list(range(1, 11)), type=pa.int64())})
+        out = aggregates.exact_quantiles(
+            ray.data.from_arrow(t).repartition(3), "v", qs=(0.0, 0.5, 1.0)
+        ).to_pydict()
+        assert out["value"] == [1, 5, 10]
+
+    def test_quantiles_with_duplicates(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import aggregates
+
+        t = pa.table({"v": pa.array([7] * 99 + [100], type=pa.int64())})
+        out = aggregates.exact_quantiles(
+            ray.data.from_arrow(t), "v", qs=(0.5, 0.95, 1.0)
+        ).to_pydict()
+        assert out["value"] == [7, 7, 100]
+
+    def test_top_terms_tie_break(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import aggregates
+
+        t = pa.table(
+            {
+                "lang": pa.array(["en", "en", "fr"]),
+                "text": pa.array(["zz aa zz aa bb", "aa", "oui oui non"]),
+            }
+        )
+        out = (
+            aggregates.top_terms_per_group(
+                ray.data.from_arrow(t), group_col="lang", k=2
+            )
+            .to_pandas()
+            .sort_values(["lang", "rank"], ignore_index=True)
+        )
+        # en: aa(3) beats zz(2) on count; fr: oui(2), non(1)
+        assert out["term"].tolist() == ["aa", "zz", "oui", "non"]
+        assert out["rank"].tolist() == [1, 2, 1, 2]

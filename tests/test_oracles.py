@@ -76,6 +76,13 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "ann_ivf_full",
         "ann_batch_topk",
         "event_windows_hopping",
+        "decontam_scan",
+        "pii_scan",
+        "asof_attribution",
+        "line_dedup",
+        "doclen_quantiles",
+        "top_terms_lang",
+        "pack_sequences",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
