@@ -6,6 +6,9 @@
     python -m ir_search_engine_ray ingest-docs CORPUS_DIR OUT
     python -m ir_search_engine_ray dedup DOCUMENTS.parquet OUT --method ...
     python -m ir_search_engine_ray curate DOCUMENTS.parquet OUT [...]
+    python -m ir_search_engine_ray pii DOCUMENTS.parquet OUT [--redact-only]
+    python -m ir_search_engine_ray decontam DOCUMENTS.parquet BENCH.parquet OUT
+    python -m ir_search_engine_ray pack DOCUMENTS.parquet OUT --max-tokens 2048
     python -m ir_search_engine_ray stats INDEX_DIR [--term flow]
     python -m ir_search_engine_ray export INDEX_DIR OUT --format gamma
 
@@ -225,6 +228,88 @@ def _cmd_curate(args) -> None:
     )
 
 
+def _cmd_pii(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras import pii
+
+    _fresh_out_dir(args.out, args.overwrite)
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = docs.map_batches(pii.pii_scan, batch_format="pyarrow")
+    if args.redact_only:
+        out = out.select_columns(["doc_id", "text_redacted"])
+    out.write_parquet(args.out)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if args.redact_only:
+        n_docs = pq.read_table(args.out, columns=["doc_id"]).num_rows
+        print(json.dumps({"out": args.out, "n_docs": n_docs}))
+    else:
+        t = pq.read_table(args.out, columns=["n_pii"])
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "n_docs": t.num_rows,
+                    "total_pii": int(pc.sum(t["n_pii"]).as_py() or 0),
+                }
+            )
+        )
+
+
+def _cmd_decontam(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras import decontam
+
+    _fresh_out_dir(args.out, args.overwrite)
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    bench = ray.data.read_parquet(args.benchmark)
+    if args.scan_only:
+        out = decontam.contamination_scan(
+            docs, bench, n=args.ngram, min_hits=args.min_hits
+        )
+    else:
+        out = decontam.decontaminate(
+            docs, bench, n=args.ngram, min_hits=args.min_hits
+        )
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(args.out, columns=["doc_id"]).num_rows
+    print(json.dumps({"out": args.out, "n_rows": n, "scan": args.scan_only}))
+
+
+def _cmd_pack(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras import packing
+
+    _fresh_out_dir(args.out, args.overwrite)
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = packing.pack_sequences(docs, max_tokens=args.max_tokens)
+    out.write_parquet(args.out)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(args.out, columns=["seq_id_end", "n_tokens"])
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_docs": t.num_rows,
+                "n_sequences": int(pc.max(t["seq_id_end"]).as_py() or 0) + 1,
+                "total_tokens": int(pc.sum(t["n_tokens"]).as_py() or 0),
+                "max_tokens": args.max_tokens,
+            }
+        )
+    )
+
+
 def _cmd_export(args) -> None:
     from .pipelines.index_build import IndexMeta
     from .sources.legacy_export import export_legacy_index
@@ -358,6 +443,41 @@ def main(argv: list[str] | None = None) -> None:
                    help="near-dup drop threshold")
     c.add_argument("--overwrite", action="store_true")
     c.set_defaults(fn=_cmd_curate)
+
+    pi = sub.add_parser(
+        "pii",
+        help="documents parquet -> per-doc PII counts + redacted text",
+    )
+    pi.add_argument("documents")
+    pi.add_argument("out")
+    pi.add_argument("--redact-only", action="store_true",
+                    help="write only (doc_id, text_redacted)")
+    pi.add_argument("--overwrite", action="store_true")
+    pi.set_defaults(fn=_cmd_pii)
+
+    dc = sub.add_parser(
+        "decontam",
+        help="drop (or flag) documents overlapping a benchmark by n-grams",
+    )
+    dc.add_argument("documents")
+    dc.add_argument("benchmark", help="parquet with a text column (eval set)")
+    dc.add_argument("out")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.add_argument("--scan-only", action="store_true",
+                    help="write per-doc overlap counts instead of filtering")
+    dc.add_argument("--overwrite", action="store_true")
+    dc.set_defaults(fn=_cmd_decontam)
+
+    pk = sub.add_parser(
+        "pack",
+        help="documents parquet -> fixed-token training-sequence placement",
+    )
+    pk.add_argument("documents")
+    pk.add_argument("out")
+    pk.add_argument("--max-tokens", type=int, default=2048)
+    pk.add_argument("--overwrite", action="store_true")
+    pk.set_defaults(fn=_cmd_pack)
 
     st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
     st.add_argument("index_dir")
