@@ -143,3 +143,77 @@ def asof_join(
         return pa.table(cols)
 
     return u.groupby(by).map_groups(join_group, batch_format="pyarrow")
+
+
+def interval_join(
+    left_ds: ray.data.Dataset,
+    intervals_ds: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    left_cols: list[str],
+    interval_cols: list[str],
+) -> ray.data.Dataset:
+    """Range join: match each left row to the interval containing it
+    (``start <= on <= end``, equal ``by`` key) — e.g. events -> sessions,
+    metrics -> deploy windows.
+
+    Same one-shuffle shape as :func:`asof_join` (tag, union,
+    ``groupby(by).map_groups``); inside a group the intervals sort by
+    ``start`` once and each left row resolves with one searchsorted probe.
+
+    Assumption (VALIDATED, not silent): one key's intervals do not overlap,
+    so a left row has at most one match — true for session windows, deploy
+    windows, validity ranges.  Overlapping intervals raise ``ValueError``
+    (a multi-match range join is a different operator with multiplying
+    output; composing it from sorted sweeps is future work).  Unmatched
+    left rows keep nulls (left-join semantics).
+    """
+    lschema = left_ds.schema()
+    rschema = intervals_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(dict.fromkeys([by, on, *left_cols]))
+    rcols = list(dict.fromkeys([by, start, end, *interval_cols]))
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
+    u = _project(left_ds, lcols, 0, all_cols, types).union(
+        _project(intervals_ds, rcols, 1, all_cols, types)
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        lrows = group.filter(pa.array(is_left))
+        rrows = group.filter(pa.array(~is_left))
+        lcount = lrows.num_rows
+        cols: dict = {c: lrows[c] for c in lcols}
+        if lcount == 0 or rrows.num_rows == 0:
+            for c in interval_cols:
+                cols[f"matched_{c}"] = pa.nulls(lcount, type=types[c])
+            return pa.table(cols)
+        rrows = rrows.sort_by([(start, "ascending")])
+        starts = rrows[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.any(starts[1:] <= ends[:-1]):
+            key = rrows[by][0].as_py()
+            raise ValueError(
+                f"interval_join: overlapping intervals for key {key!r} — "
+                "this operator requires non-overlapping intervals per key"
+            )
+        lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(starts, lon, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        have = (idx >= 0) & (lon <= ends[safe])
+        for c in interval_cols:
+            vals = rrows[c].take(pa.array(safe))
+            if not have.all():
+                vals = pa.compute.if_else(
+                    pa.array(~have), pa.nulls(lcount, type=types[c]), vals
+                )
+            cols[f"matched_{c}"] = vals
+        return pa.table(cols)
+
+    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")

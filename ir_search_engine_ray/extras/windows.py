@@ -255,3 +255,40 @@ def sessionize(
     return segs.groupby("user_id").map_groups(
         merge_user, batch_format="pyarrow"
     )
+
+
+def rolling_user_stats(events_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-event running aggregates over each user's ordered history:
+    (event_id, user_id, ts, cum_n, cum_value) with the cumulative event
+    count and value sum under the deterministic (ts, event_id) order —
+    the ROWS-UNBOUNDED-PRECEDING windowed aggregate, Ray-Data-first.
+
+    Same partitioning contract as ``sessionize``: one user's events per
+    task, vectorized cumsum inside.  The running sum is sequential
+    (np.cumsum) to match the SQL window frame's left-to-right
+    accumulation; cum_value is rounded to 6 decimals on both sides."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": group["user_id"].take(pa.array(order)),
+                "ts": group["ts"].take(pa.array(order)),
+                "cum_n": pa.array(
+                    np.arange(1, ts.size + 1, dtype=np.int64)
+                ),
+                "cum_value": pa.array(
+                    np.round(np.cumsum(val[order]), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

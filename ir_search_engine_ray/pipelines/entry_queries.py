@@ -648,6 +648,45 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
+    """Range join: every event -> the session window containing it (the
+    intervals come from sessionize, so the join closes the loop between
+    the windowing and join operators)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        override_num_blocks=8,
+    )
+    sess = windows.sessionize(ev)
+    out = joins.interval_join(
+        ev,
+        sess,
+        by="user_id",
+        on="ts",
+        start="session_start",
+        end="session_end",
+        left_cols=["event_id"],
+        interval_cols=["session_idx"],
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["session_idx" if c == "matched_session_idx" else c
+             for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_rolling_user_stats(sf_dir: str) -> ray.data.Dataset:
+    return windows.rolling_user_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+            override_num_blocks=8,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles
 
@@ -1304,6 +1343,31 @@ SELECT doc_id, n_tokens,
              ELSE start // 256 END)::BIGINT AS seq_id_end
 FROM p
 """,
+        "event_session_join": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+         AS session_idx
+FROM o
+""",
+        "rolling_user_stats": """
+SELECT event_id, user_id, ts,
+       (row_number() OVER w)::BIGINT AS cum_n,
+       round(sum(value) OVER w, 6) AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
     }
 
 
@@ -1442,4 +1506,6 @@ def build_queries() -> dict:
         "doclen_quantiles": q_doclen_quantiles,
         "top_terms_lang": q_top_terms_lang,
         "pack_sequences": q_pack_sequences,
+        "event_session_join": q_event_session_join,
+        "rolling_user_stats": q_rolling_user_stats,
     }

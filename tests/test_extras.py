@@ -1275,3 +1275,113 @@ class TestAggregates:
         # en: aa(3) beats zz(2) on count; fr: oui(2), non(1)
         assert out["term"].tolist() == ["aa", "zz", "oui", "non"]
         assert out["rank"].tolist() == [1, 2, 1, 2]
+
+
+class TestIntervalJoin:
+    def _run(self, left, right, **kw):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        return joins.interval_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), **kw
+        ).to_pandas()
+
+    def test_containment_and_nulls(self, ray_session):
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array([5, 15, 25, 5], type=pa.int64()),
+                "lid": pa.array([0, 1, 2, 3], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "lo": pa.array([0, 20], type=pa.int64()),
+                "hi": pa.array([10, 30], type=pa.int64()),
+                "iv": pa.array([100, 200], type=pa.int64()),
+            }
+        )
+        out = self._run(
+            left, right, by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"],
+        ).sort_values("lid", ignore_index=True)
+        got = out["matched_iv"].tolist()
+        assert got[0] == 100  # ts 5 in [0,10]
+        assert np.isnan(got[1])  # ts 15 in the gap
+        assert got[2] == 200  # ts 25 in [20,30]
+        assert np.isnan(got[3])  # key 2 has no intervals
+
+    def test_boundaries_inclusive(self, ray_session):
+        left = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([0, 10], type=pa.int64()),
+                "lid": pa.array([0, 1], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "lo": pa.array([0], type=pa.int64()),
+                "hi": pa.array([10], type=pa.int64()),
+                "iv": pa.array([7], type=pa.int64()),
+            }
+        )
+        out = self._run(
+            left, right, by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"],
+        )
+        assert out["matched_iv"].tolist() == [7, 7]
+
+    def test_overlap_raises(self, ray_session):
+        left = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "ts": pa.array([5], type=pa.int64()),
+                "lid": pa.array([0], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "lo": pa.array([0, 5], type=pa.int64()),
+                "hi": pa.array([10, 20], type=pa.int64()),
+                "iv": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="overlapping"):
+            self._run(
+                left, right, by="k", on="ts", start="lo", end="hi",
+                left_cols=["lid"], interval_cols=["iv"],
+            )
+
+
+class TestRollingStats:
+    def test_cumulative_matches_pandas(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([3, 1, 2, 4], type=pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array(
+                    [20 * us, 10 * us, 10 * us, 5 * us],
+                    type=pa.timestamp("us"),
+                ),
+                "value": pa.array([1.5, 2.0, 3.0, 7.0]),
+            }
+        )
+        out = (
+            windows.rolling_user_stats(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values(["user_id", "cum_n"], ignore_index=True)
+        )
+        # user 1 order: (ts10,eid1), (ts10,eid2), (ts20,eid3)
+        assert out["event_id"].tolist() == [1, 2, 3, 4]
+        assert out["cum_n"].tolist() == [1, 2, 3, 1]
+        assert out["cum_value"].tolist() == [2.0, 5.0, 6.5, 7.0]

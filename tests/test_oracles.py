@@ -83,6 +83,8 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "doclen_quantiles",
         "top_terms_lang",
         "pack_sequences",
+        "event_session_join",
+        "rolling_user_stats",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
