@@ -137,3 +137,41 @@ def corpus_stats(docs_ds: ray.data.Dataset) -> pa.Table:
             ),
         }
     )
+
+
+def stratified_sample(
+    docs_ds: ray.data.Dataset,
+    *,
+    by: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    seed: int = 11,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``mix64(id) % 10000 < rates_bp[stratum]`` (basis points, 0..10000).
+
+    The training-data rebalancing step (e.g. downweight English, keep all
+    low-resource languages): the same growth-stable hashed-id property as
+    ``assign_splits`` — a row's fate depends only on its own id and the
+    stratum rate, so samples are reproducible across runs, partitionings
+    and corpus growth, and nested samples are monotone (raising a rate
+    only ADDS rows).  Pure per-batch map, no shuffle; integral basis
+    points keep the DuckDB oracle bit-exact (no float thresholds)."""
+    for k, v in rates_bp.items():
+        if not 0 <= int(v) <= 10000:
+            raise ValueError(f"rate for {k!r} must be in [0, 10000] bp")
+    if not 0 <= int(default_bp) <= 10000:
+        raise ValueError("default_bp must be in [0, 10000]")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        bucket = _mix64(ids, seed) % np.uint64(10000)
+        strata = batch[by].to_pylist()
+        thr = np.array(
+            [int(rates_bp.get(s, default_bp)) for s in strata],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(bucket < thr))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

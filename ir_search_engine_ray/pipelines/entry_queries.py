@@ -43,6 +43,7 @@ from ..extras import (
     joins,
     packing,
     pii,
+    semistructured,
     splits,
     textclean,
     textstats,
@@ -687,6 +688,43 @@ def q_rolling_user_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+SAMPLE_RATES_BP = {"en": 2500, "es": 5000, "de": 5000, "fr": 10000,
+                   "zh": 10000}
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Language-rebalancing sample: keep 25% of English, 50% of es/de,
+    all fr/zh — deterministic hashed-id thresholds in basis points."""
+    return splits.stratified_sample(
+        _docs_ds(sf_dir), by="lang", rates_bp=SAMPLE_RATES_BP, seed=11
+    )
+
+
+def q_json_flatten(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "props"],
+        override_num_blocks=8,
+    ).map_batches(
+        lambda b: semistructured.flatten_json(
+            b, col="props", fields={"k": pa.int64()}, keep=("event_id",)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_json_rollup(sf_dir: str) -> ray.data.Dataset:
+    return semistructured.json_field_rollup(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "props"],
+            override_num_blocks=8,
+        ),
+        group_col="event_type",
+        field="k",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL oracles
 
@@ -1070,6 +1108,31 @@ FROM tagged GROUP BY 1
 """
 
 
+def _sql_stratified_sample(seed: int = 11) -> str:
+    """Mirror of ``splits.stratified_sample``: splitmix-mixed doc_id mod
+    10000 vs the per-language basis-point thresholds (generated from the
+    same SAMPLE_RATES_BP dict the Ray side uses)."""
+    from ..extras.dedup import _SM_ADD, _SM_MUL1, _SM_MUL2
+
+    m = "18446744073709551616"
+    case = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"""
+WITH h0 AS (
+  SELECT *, (doc_id::HUGEINT + {seed} + {int(_SM_ADD)}) % {m} AS z
+  FROM documents
+),
+s2 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM h0),
+s3 AS (SELECT * REPLACE ((z * {int(_SM_MUL1)}) % {m} AS z) FROM s2),
+s4 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM s3),
+s5 AS (SELECT * REPLACE ((z * {int(_SM_MUL2)}) % {m} AS z) FROM s4),
+b AS (SELECT * REPLACE (xor(z, z >> 31) % 10000 AS z) FROM s5)
+SELECT doc_id, text, lang, source, n_chars FROM b
+WHERE z < CASE lang {case} ELSE 0 END
+"""
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     fx = str(fixture_dir(sf_dir))
     stop = STOPWORDS_SQL_LIST
@@ -1368,6 +1431,18 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 """,
+        "stratified_sample": _sql_stratified_sample(),
+        "json_flatten": """
+SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
+""",
+        "json_rollup": """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(json_extract(props, '$.k'))::BIGINT AS n_with_field,
+       coalesce(sum(json_extract(props, '$.k')::BIGINT), 0)::BIGINT
+         AS sum_field
+FROM events GROUP BY 1
+""",
     }
 
 
@@ -1508,4 +1583,7 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "event_session_join": q_event_session_join,
         "rolling_user_stats": q_rolling_user_stats,
+        "stratified_sample": q_stratified_sample,
+        "json_flatten": q_json_flatten,
+        "json_rollup": q_json_rollup,
     }

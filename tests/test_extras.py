@@ -1385,3 +1385,122 @@ class TestRollingStats:
         assert out["event_id"].tolist() == [1, 2, 3, 4]
         assert out["cum_n"].tolist() == [1, 2, 3, 1]
         assert out["cum_value"].tolist() == [2.0, 5.0, 6.5, 7.0]
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import splits
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(2000)), type=pa.int64()),
+                "lang": pa.array((["en"] * 3 + ["fr"])[i % 4] for i in range(2000)),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        a = splits.stratified_sample(
+            ds, by="lang", rates_bp={"en": 5000, "fr": 10000}
+        ).to_pandas()
+        b = splits.stratified_sample(
+            ds.repartition(7), by="lang", rates_bp={"en": 5000, "fr": 10000}
+        ).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-proof
+        n_en = (a["lang"] == "en").sum()
+        assert abs(n_en / 1500 - 0.5) < 0.06  # ~50% of en kept
+        assert (a["lang"] == "fr").sum() == 500  # 100% of fr kept
+
+    def test_nested_samples_monotone(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import splits
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(1000)), type=pa.int64()),
+                "lang": pa.array(["en"] * 1000),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        small = set(
+            splits.stratified_sample(ds, by="lang", rates_bp={"en": 2000})
+            .to_pandas()["doc_id"]
+        )
+        big = set(
+            splits.stratified_sample(ds, by="lang", rates_bp={"en": 6000})
+            .to_pandas()["doc_id"]
+        )
+        assert small <= big  # raising a rate only adds rows
+
+    def test_default_rate_and_validation(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import splits
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "lang": pa.array(["xx", "xx"]),
+            }
+        )
+        out = splits.stratified_sample(
+            ray.data.from_arrow(t), by="lang", rates_bp={"en": 100}
+        ).to_pandas()
+        assert len(out) == 0  # unknown stratum -> default 0 bp
+        with pytest.raises(ValueError, match="bp"):
+            splits.stratified_sample(
+                ray.data.from_arrow(t), by="lang", rates_bp={"en": 10001}
+            )
+
+
+class TestSemistructured:
+    def test_flatten_handles_malformed(self, ray_session):
+        from ir_search_engine_ray.extras import semistructured
+
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+                "props": pa.array(
+                    [
+                        '{"k": 7, "s": "x"}',
+                        '{"s": "only string"}',   # missing k
+                        "not json at all",         # malformed
+                        None,                      # null cell
+                        '{"k": "seven"}',          # wrong type
+                        "[1, 2]",                  # non-object json
+                    ]
+                ),
+            }
+        )
+        out = semistructured.flatten_json(
+            t, col="props",
+            fields={"k": pa.int64(), "s": pa.string()},
+            keep=("event_id",),
+        ).to_pydict()
+        assert out["k"] == [7, None, None, None, None, None]
+        assert out["s"] == ["x", "only string", None, None, None, None]
+
+    def test_rollup_counts(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import semistructured
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["a", "a", "b", "b"]),
+                "props": pa.array(
+                    ['{"k": 1}', "bad", '{"k": 5}', '{"k": 10}']
+                ),
+            }
+        )
+        out = (
+            semistructured.json_field_rollup(
+                ray.data.from_arrow(t).repartition(2), field="k"
+            )
+            .to_pandas()
+            .sort_values("event_type", ignore_index=True)
+        )
+        assert out["n_events"].tolist() == [2, 2]
+        assert out["n_with_field"].tolist() == [1, 2]
+        assert out["sum_field"].tolist() == [1, 15]

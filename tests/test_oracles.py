@@ -85,6 +85,9 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "pack_sequences",
         "event_session_join",
         "rolling_user_stats",
+        "stratified_sample",
+        "json_flatten",
+        "json_rollup",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
