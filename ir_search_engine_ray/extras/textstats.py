@@ -211,3 +211,32 @@ def ngram_counts(
 
 def run(docs_ds: ray.data.Dataset, fn) -> ray.data.Dataset:
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_signals(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-doc repetition: per doc, how many of its word
+    n-grams (n=2,3) are occurrences of a DUPLICATED n-gram (one appearing
+    more than once in the doc).  Integer numerators/denominators (the
+    ratio-discipline of quality_signals); heavily repeated boilerplate
+    drives n_dup_*grams toward n_*grams.  Single-pass map, no shuffle."""
+    from collections import Counter
+
+    cols: dict[str, list[int]] = {
+        "n_2grams": [], "n_dup_2grams": [], "n_3grams": [], "n_dup_3grams": []
+    }
+    for text in batch["text"].to_pylist():
+        toks = _tokens(text)
+        for n in (2, 3):
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            total = max(0, len(toks) - n + 1)
+            dup = sum(c for c in grams.values() if c > 1)
+            cols[f"n_{n}grams"].append(total)
+            cols[f"n_dup_{n}grams"].append(dup)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            **{k: pa.array(v, type=pa.int64()) for k, v in cols.items()},
+        }
+    )

@@ -692,6 +692,12 @@ SAMPLE_RATES_BP = {"en": 2500, "es": 5000, "de": 5000, "fr": 10000,
                    "zh": 10000}
 
 
+def q_repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    return _docs_ds(sf_dir).map_batches(
+        textstats.repetition_signals, batch_format="pyarrow"
+    )
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Language-rebalancing sample: keep 25% of English, 50% of es/de,
     all fr/zh — deterministic hashed-id thresholds in basis points."""
@@ -1443,6 +1449,38 @@ SELECT event_type,
          AS sum_field
 FROM events GROUP BY 1
 """,
+        "repetition_signals": """
+WITH pts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS fts
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(fts[i : i+1], ' ') AS gram
+  FROM pts, unnest(range(1, len(fts))) AS t(i)
+),
+g3 AS (
+  SELECT doc_id, array_to_string(fts[i : i+2], ' ') AS gram
+  FROM pts, unnest(range(1, len(fts) - 1)) AS t(i)
+),
+c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+c3 AS (SELECT doc_id, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+a2 AS (SELECT doc_id, sum(c)::BIGINT AS n_2grams,
+              coalesce(sum(c) FILTER (c > 1), 0)::BIGINT AS n_dup_2grams
+       FROM c2 GROUP BY 1),
+a3 AS (SELECT doc_id, sum(c)::BIGINT AS n_3grams,
+              coalesce(sum(c) FILTER (c > 1), 0)::BIGINT AS n_dup_3grams
+       FROM c3 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a2.n_2grams, 0) AS n_2grams,
+       coalesce(a2.n_dup_2grams, 0) AS n_dup_2grams,
+       coalesce(a3.n_3grams, 0) AS n_3grams,
+       coalesce(a3.n_dup_3grams, 0) AS n_dup_3grams
+FROM documents d
+LEFT JOIN a2 ON d.doc_id = a2.doc_id
+LEFT JOIN a3 ON d.doc_id = a3.doc_id
+""",
     }
 
 
@@ -1586,4 +1624,5 @@ def build_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "json_flatten": q_json_flatten,
         "json_rollup": q_json_rollup,
+        "repetition_signals": q_repetition_signals,
     }

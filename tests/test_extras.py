@@ -1504,3 +1504,28 @@ class TestSemistructured:
         assert out["n_events"].tolist() == [2, 2]
         assert out["n_with_field"].tolist() == [1, 2]
         assert out["sum_field"].tolist() == [1, 15]
+
+
+class TestRepetition:
+    def test_duplicate_ngram_fractions(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "nav bar nav bar nav bar",  # pure boilerplate loop
+                        "all words here are fully distinct",
+                        "xy",                        # single token: no grams
+                    ]
+                ),
+            }
+        )
+        out = textstats.repetition_signals(t).to_pydict()
+        # doc0 tokens: nav bar nav bar nav bar -> 5 bigrams, all of
+        # ('nav','bar') x3 / ('bar','nav') x2 -> every occurrence duplicated
+        assert out["n_2grams"] == [5, 5, 0]
+        assert out["n_dup_2grams"] == [5, 0, 0]
+        assert out["n_3grams"] == [4, 4, 0]
+        assert out["n_dup_3grams"] == [4, 0, 0]

@@ -88,6 +88,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "stratified_sample",
         "json_flatten",
         "json_rollup",
+        "repetition_signals",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
