@@ -44,6 +44,7 @@ def _cmd_build(args) -> None:
             mode=args.mode,
             salt_buckets=args.salt_buckets,
             tokenize_batch_size=args.batch_size,
+            attr_cols=tuple(args.attrs.split(",")) if args.attrs else (),
         ),
         append=args.append,
     )
@@ -103,15 +104,30 @@ def _headlines(eng, rows: list[dict]) -> None:
         r["headline"] = by_key[(r["conv_id"], r["turn_idx"])][:60]
 
 
+def _parse_filters(specs: list[str] | None) -> dict | None:
+    """--filter role=user --filter tool=search,calculator -> dict."""
+    if not specs:
+        return None
+    filters: dict[str, list[str]] = {}
+    for spec in specs:
+        col, _, val = spec.partition("=")
+        if not col or not val:
+            raise SystemExit(f"--filter wants col=value, got {spec!r}")
+        filters.setdefault(col, []).extend(val.split(","))
+    return filters
+
+
 def _cmd_query(args) -> None:
     _ensure_ray()
     eng = _engine(args)
+    filters = _parse_filters(args.filter)
     if args.phrase:
         rows = eng.phrase_query(args.text, args.scheme, args.k)
     elif args.explain:
         rows = eng.explain(args.text, args.scheme, args.k)
     else:
-        rows = eng.query(args.text, args.scheme, args.k, args.algorithm)
+        rows = eng.query(args.text, args.scheme, args.k, args.algorithm,
+                         filters=filters)
     if args.snippet:
         _headlines(eng, rows)
     for r in rows:
@@ -372,6 +388,9 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--append", action="store_true",
                    help="extend an existing index with NEW input files only "
                         "(delta cost; config is taken from the index)")
+    b.add_argument("--attrs", default=None,
+                   help="comma-separated input columns to index as "
+                        "filterable doc attributes (e.g. role,tool)")
     b.set_defaults(fn=_cmd_build)
 
     def query_args(q):
@@ -390,6 +409,9 @@ def main(argv: list[str] | None = None) -> None:
     q = sub.add_parser("query", help="one query -> top-k JSON lines")
     query_args(q)
     q.add_argument("text")
+    q.add_argument("--filter", action="append", metavar="COL=VAL[,VAL...]",
+                   help="restrict to docs matching an attribute (index "
+                        "must be built with --attrs); repeatable")
     q.add_argument("--explain", action="store_true",
                    help="include per-term score contributions")
     q.add_argument("--phrase", action="store_true",

@@ -45,6 +45,11 @@ class IndexConfig:
     # at first build), so a one-shot rebuild only byte-matches an appended
     # one when built with the same pinned value (see append_index).
     range_size_override: int | None = None
+    # document attribute columns (e.g. ("role",)) copied from the input
+    # into a doc-id-sorted sidecar at build time, enabling metadata-
+    # filtered retrieval (QueryEngine.query(filters={"role": "user"})).
+    # Empty (the default) writes no sidecar and changes nothing.
+    attr_cols: tuple[str, ...] | list[str] = ()
 
     def fingerprint(self) -> str:
         return hashlib.sha256(

@@ -120,9 +120,14 @@ def simple_triples(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(_tokenize_batch_simple, batch_format="pyarrow")
 
 
-def cached_index(sf_dir: str, mode: str):
-    out = INDEX_CACHE / f"{Path(sf_dir).name}-{mode}"
-    return build_index(_transcripts_path(sf_dir), out, IndexConfig(mode=mode))
+def cached_index(sf_dir: str, mode: str, attrs: tuple[str, ...] = ()):
+    suffix = mode + ("-attrs-" + "-".join(attrs) if attrs else "")
+    out = INDEX_CACHE / f"{Path(sf_dir).name}-{suffix}"
+    return build_index(
+        _transcripts_path(sf_dir),
+        out,
+        IndexConfig(mode=mode, attr_cols=tuple(attrs)),
+    )
 
 
 def topk_table(sf_dir: str, mode: str, scheme: str, k: int = 10) -> pa.Table:
@@ -692,6 +697,29 @@ SAMPLE_RATES_BP = {"en": 2500, "es": 5000, "de": 5000, "fr": 10000,
                    "zh": 10000}
 
 
+def q_topk_w2_filtered(sf_dir: str) -> pa.Table:
+    """Metadata-filtered retrieval: top-10 w2 over role='user' turns only
+    (attrs-sidecar index + QueryEngine filters), first 5 fixture queries."""
+    import pyarrow.parquet as pq
+
+    meta = cached_index(sf_dir, "simple", attrs=("role",))
+    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10))
+    qt = pq.read_table(_queries_path(sf_dir)).slice(0, 5)
+    qids, docs, scores = [], [], []
+    for qid, text in zip(qt["query_id"].to_pylist(), qt["text"].to_pylist()):
+        for row in eng.query(text, "w2", 10, filters={"role": "user"}):
+            qids.append(qid)
+            docs.append(row["doc_id"])
+            scores.append(round(row["score"], 6))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
 def q_repetition_signals(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir).map_batches(
         textstats.repetition_signals, batch_format="pyarrow"
@@ -1114,6 +1142,23 @@ FROM tagged GROUP BY 1
 """
 
 
+def _sql_role_restrict(fx: str, role: str = "user") -> str:
+    """restrict-CTE chain for _sql_restricted_topk: docs whose turn role
+    matches (doc_id = rank under the global (conv_id, turn_idx) order)."""
+    return f"""rmap AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role
+  FROM read_parquet('{fx}/transcripts/*.parquet')
+),
+ph AS (SELECT doc_id FROM rmap WHERE role = '{role}')"""
+
+
+def _first_queries(sf_dir: str, n: int = 5) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_queries_path(sf_dir)).slice(0, n)
+    return list(zip(t["query_id"].to_pylist(), t["text"].to_pylist()))
+
+
 def _sql_stratified_sample(seed: int = 11) -> str:
     """Mirror of ``splits.stratified_sample``: splitmix-mixed doc_id mod
     10000 vs the per-language basis-point thresholds (generated from the
@@ -1481,6 +1526,14 @@ FROM documents d
 LEFT JOIN a2 ON d.doc_id = a2.doc_id
 LEFT JOIN a3 ON d.doc_id = a3.doc_id
 """,
+        "topk_w2_filtered": "\nUNION ALL\n".join(
+            f"SELECT {qid}::INTEGER AS query_id, doc_id, score FROM ("
+            + _sql_restricted_topk(
+                fx, text.replace("'", "''"), _sql_role_restrict(fx)
+            )
+            + ")"
+            for qid, text in _first_queries(sf_dir)
+        ),
     }
 
 
@@ -1625,4 +1678,5 @@ def build_queries() -> dict:
         "json_flatten": q_json_flatten,
         "json_rollup": q_json_rollup,
         "repetition_signals": q_repetition_signals,
+        "topk_w2_filtered": q_topk_w2_filtered,
     }

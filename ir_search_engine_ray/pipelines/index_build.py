@@ -286,6 +286,78 @@ def _df_stage(
     )
 
 
+def _attrs_stage(
+    attrs_dir: Path,
+    fp: str,
+    paths: list[str],
+    attr_cols: list[str],
+    conv_arr,
+    base_arr,
+    N: int,
+    config: IndexConfig,
+) -> None:
+    """Doc-attribute sidecar: per read batch, one doc-id-sorted parquet
+    named by its doc range (``attr-d<lo>-d<hi>.parquet``) so a serving
+    shard opens only the files overlapping its own range.  Deterministic
+    and idempotent like blocks: batch boundaries derive from N alone,
+    file names from content ranges, writes are atomic, and stray files
+    from other partitionings are dropped before the marker lands."""
+    from ..stages.docids import assign_doc_ids
+
+    if stage_complete(attrs_dir, fp) is not None:
+        return
+    begin_stage(attrs_dir, fp, keep_partials=True)
+    batch_size = config.tokenize_batch_size or min(
+        32768, max(8192, -(-N // 64))
+    )
+    n_batches = max(1, -(-N // batch_size))
+    ds = read_transcripts(
+        paths,
+        columns=["conv_id", "turn_idx", *attr_cols],
+        override_num_blocks=n_batches,
+    )
+    offsets_ref = ray.put((conv_arr, base_arr))
+    dir_str = str(attrs_dir)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_id", *attr_cols]).sort_by(
+            [("doc_id", "ascending")]
+        )
+        lo = int(t["doc_id"][0].as_py())
+        hi = int(t["doc_id"][-1].as_py())
+        name = f"attr-d{lo:012d}-d{hi:012d}.parquet"
+        dest = Path(dir_str) / name
+        if not dest.exists():
+            atomic_write_bytes(dest, lambda tmp: pq.write_table(t, tmp))
+        return pa.table(
+            {"file": pa.array([name]), "n_rows": pa.array([t.num_rows])}
+        )
+
+    manifest = (
+        ds.map_batches(
+            assign_doc_ids,
+            fn_kwargs={"offsets_ref": offsets_ref},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .map_batches(write_batch, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    listed = {m["file"] for m in manifest}
+    for f in attrs_dir.glob("attr-d*.parquet"):
+        if f.name not in listed:
+            f.unlink()
+    n_rows = int(sum(m["n_rows"] for m in manifest))
+    if n_rows != N:
+        raise RuntimeError(
+            f"attrs stage wrote {n_rows} rows, expected N={N}"
+        )
+    mark_stage_complete(
+        attrs_dir, fp, n_files=len(manifest), n_rows=n_rows,
+        attr_cols=attr_cols,
+    )
+
+
 def build_index(
     transcripts: str | Path,
     out_dir: str | Path,
@@ -434,6 +506,18 @@ def build_index(
     _lap("blocks")
     total_doc_len = int(marker["total_doc_len"])
     avgdl = total_doc_len / N if N else 0.0
+
+    # ---- stage: attrs (optional doc-attribute sidecar for filtered
+    # retrieval: doc-id-sorted (doc_id, *attr_cols) parquet per batch,
+    # range-named so serving prunes files by name — one extra
+    # column-pruned pass over the input, no shuffle)
+    if config.attr_cols:
+        _attrs_stage(
+            out / "attrs", fp, paths, list(config.attr_cols),
+            conv_arr, base_arr, N, config,
+        )
+        _lap("attrs")
+
     # per-salt run locations from the persisted manifest (file + record-batch
     # index inside it), ordered by doc range so concatenated runs arrive
     # doc_id-sorted (the merge's monotone-docId precondition)
@@ -760,6 +844,20 @@ def append_index(
     _lap("blocks")
     total_doc_len = int(marker["total_doc_len"])
     avgdl = total_doc_len / N if N else 0.0
+
+    # attrs sidecar: regenerated over the full (old + new) input — one
+    # column-pruned pass over metadata-thin columns; file-name determinism
+    # keeps unchanged ranges' files in place
+    if config.attr_cols:
+        convs_full = pq.read_table(convs_path, columns=["conv_id", "base"])
+        _attrs_stage(
+            out / "attrs", fp, sorted(known) + new_paths,
+            list(config.attr_cols),
+            convs_full["conv_id"].combine_chunks(),
+            convs_full["base"].to_numpy(), N, config,
+        )
+        _lap("attrs")
+
     man_rows = json.loads((blocks_dir / "manifest.json").read_text())["files"]
 
     # ---- stage: chunks — re-merge ONLY the salts the new doc range touches

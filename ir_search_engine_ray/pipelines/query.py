@@ -89,11 +89,14 @@ class ShardState:
         df_source: dict[str, int] | str,
         N: int,
         avgdl: float,
+        attrs_dir: str | None = None,
     ) -> None:
         import pyarrow.compute as pc
 
         from ..stages.norms import DfStore, load_weights
 
+        self.attrs_dir = attrs_dir
+        self._attr_cache: dict[str, tuple[np.ndarray, list]] = {}
         tables = [pq.read_table(f) for f in sorted(files)]
         t = pa.concat_tables(tables) if tables else None
         self.terms: dict[str, _TermData] = {}
@@ -171,7 +174,12 @@ class ShardState:
         return self.doc_hi - self.doc_lo + 1
 
     def score_exhaustive(
-        self, terms: list[str], weights: np.ndarray, scheme: str, k: int
+        self,
+        terms: list[str],
+        weights: np.ndarray,
+        scheme: str,
+        k: int,
+        mask: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         found = self._gather(terms, weights)
         if not found:
@@ -179,8 +187,61 @@ class ShardState:
         acc = np.zeros(self._span, dtype=np.float64)
         for wq, d in found:
             acc[d.ids - self.doc_lo] += d.wn[scheme] * wq
+        if mask is not None:
+            acc[~mask] = 0.0
         nz = np.flatnonzero(acc)
         return topk_from_scores(nz + self.doc_lo, acc[nz], k)
+
+    # -- metadata-filtered retrieval (attrs sidecar) --------------------
+
+    def _attr_codes(self, col: str) -> tuple[np.ndarray, list]:
+        """Span-aligned dictionary codes for one attribute column, loaded
+        once per actor from only the sidecar files overlapping this
+        shard's doc range (pruned by the range-encoded file names)."""
+        got = self._attr_cache.get(col)
+        if got is not None:
+            return got
+        if self.attrs_dir is None:
+            raise ValueError(
+                "index has no attrs sidecar — rebuild with "
+                "IndexConfig(attr_cols=(...)) to enable filtered queries"
+            )
+        import pyarrow.compute as pc
+
+        parts = []
+        for f in sorted(Path(self.attrs_dir).glob("attr-d*.parquet")):
+            stem = f.stem  # attr-d<lo>-d<hi>
+            lo = int(stem.split("-d")[1])
+            hi = int(stem.split("-d")[2])
+            if hi < self.doc_lo or lo > self.doc_hi:
+                continue
+            parts.append(pq.read_table(f, columns=["doc_id", col]))
+        codes = np.full(self._span, -1, dtype=np.int32)
+        dictionary: list = []
+        if parts:
+            t = pa.concat_tables(parts)
+            ids = t["doc_id"].to_numpy()
+            sel = (ids >= self.doc_lo) & (ids <= self.doc_hi)
+            enc = pc.dictionary_encode(t[col].combine_chunks())
+            codes[ids[sel] - self.doc_lo] = enc.indices.to_numpy(
+                zero_copy_only=False
+            )[sel]
+            dictionary = enc.dictionary.to_pylist()
+        self._attr_cache[col] = (codes, dictionary)
+        return codes, dictionary
+
+    def allowed_mask(self, filters: dict) -> np.ndarray:
+        """Boolean span mask of docs matching EVERY filter (value or
+        collection of values per attribute column)."""
+        mask = np.ones(self._span, dtype=bool)
+        for col, want in filters.items():
+            codes, dictionary = self._attr_codes(col)
+            vals = (
+                {want} if isinstance(want, str) else set(want)
+            )
+            keep = [i for i, v in enumerate(dictionary) if v in vals]
+            mask &= np.isin(codes, np.array(keep, dtype=np.int32))
+        return mask
 
     def score_maxscore(
         self, terms: list[str], weights: np.ndarray, scheme: str, k: int
@@ -305,13 +366,24 @@ class ShardState:
             out[ok, qi] = d.wn[scheme][pos[ok]]
         return out
 
-    def score(self, terms, weights, scheme, k, algorithm) -> list[tuple[int, float]]:
-        fn = {
-            "exhaustive": self.score_exhaustive,
-            "maxscore": self.score_maxscore,
-            "block_max_wand": self.score_block_max_wand,
-        }[algorithm]
-        out = fn(terms, np.asarray(weights, dtype=np.float64), scheme, k)
+    def score(
+        self, terms, weights, scheme, k, algorithm, filters=None
+    ) -> list[tuple[int, float]]:
+        w = np.asarray(weights, dtype=np.float64)
+        if filters:
+            # filtered retrieval always scores exhaustively: WAND/maxscore
+            # bounds are not filter-aware, so their pruning could discard a
+            # window whose only surviving docs are allowed ones
+            out = self.score_exhaustive(
+                terms, w, scheme, k, mask=self.allowed_mask(filters)
+            )
+        else:
+            fn = {
+                "exhaustive": self.score_exhaustive,
+                "maxscore": self.score_maxscore,
+                "block_max_wand": self.score_block_max_wand,
+            }[algorithm]
+            out = fn(terms, w, scheme, k)
         # locked semantics: zero-score docs are never returned (see oracle.py)
         return [(d, s) for d, s in out if s > 0.0]
 
@@ -319,19 +391,20 @@ class ShardState:
 @ray.remote
 class IndexShardActor:
     def __init__(
-        self, files: list[str], df_source, N: int, avgdl: float
+        self, files: list[str], df_source, N: int, avgdl: float,
+        attrs_dir: str | None = None,
     ) -> None:
         # df_source: a path to the partitioned df dir (streamed, scale
         # path), a ray.put dict handle, or a plain dict (tests)
         if isinstance(df_source, ray.ObjectRef):
             df_source = ray.get(df_source)
-        self.state = ShardState(files, df_source, N, avgdl)
+        self.state = ShardState(files, df_source, N, avgdl, attrs_dir)
 
     def df_local_size(self) -> int:
         return self.state.df_local_size
 
-    def score(self, terms, weights, scheme, k, algorithm):
-        return self.state.score(terms, weights, scheme, k, algorithm)
+    def score(self, terms, weights, scheme, k, algorithm, filters=None):
+        return self.state.score(terms, weights, scheme, k, algorithm, filters)
 
     def score_many(self, queries, scheme, k, algorithm):
         """Batch form: [(terms, weights), ...] -> list of partial top-ks."""
@@ -393,12 +466,17 @@ class QueryEngine:
         self.local = local
         N, avgdl = meta.N, meta.avg_doc_len
         df_dir = str(meta.out_dir / "df")
+        attrs = meta.out_dir / "attrs"
+        attrs_dir = str(attrs) if attrs.is_dir() else None
         if local:
             src = self.df_map if self.df_map is not None else df_dir
-            self.states = [ShardState(g, src, N, avgdl) for g in groups]
+            self.states = [
+                ShardState(g, src, N, avgdl, attrs_dir) for g in groups
+            ]
         else:
             self.actors = [
-                IndexShardActor.remote(g, df_dir, N, avgdl) for g in groups
+                IndexShardActor.remote(g, df_dir, N, avgdl, attrs_dir)
+                for g in groups
             ]
             ray.get([a.ready.remote() for a in self.actors])
 
@@ -444,7 +522,13 @@ class QueryEngine:
         scheme: str | None = None,
         k: int | None = None,
         algorithm: str | None = None,
+        filters: dict | None = None,
     ) -> list[dict]:
+        """Top-k; ``filters={"role": "user"}`` (value or collection per
+        attribute column) restricts retrieval to matching documents —
+        requires an index built with ``IndexConfig(attr_cols=(...))``.
+        Scores are unchanged by filtering (cosine norms are per-doc), so
+        the filtered top-k is exactly the allowed subset's ranking."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
         algorithm = algorithm or self.config.algorithm
@@ -453,12 +537,13 @@ class QueryEngine:
             return []
         if self.local:
             partials = [
-                s.score(terms, weights, scheme, k, algorithm) for s in self.states
+                s.score(terms, weights, scheme, k, algorithm, filters)
+                for s in self.states
             ]
         else:
             partials = ray.get(
                 [
-                    a.score.remote(terms, weights, scheme, k, algorithm)
+                    a.score.remote(terms, weights, scheme, k, algorithm, filters)
                     for a in self.actors
                 ]
             )

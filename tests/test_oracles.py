@@ -89,6 +89,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "json_flatten",
         "json_rollup",
         "repetition_signals",
+        "topk_w2_filtered",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):

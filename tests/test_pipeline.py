@@ -1033,3 +1033,74 @@ class TestLemmaMode:
         assert lemma_terms != stem_terms
         # lemma terms are real surface lemmas, not Porter truncations
         assert not {t for t in lemma_terms if t.endswith(("studi", "famili"))}
+
+
+class TestFilteredQuery:
+    """Metadata-filtered retrieval via the attrs sidecar
+    (IndexConfig(attr_cols=...) + QueryEngine.query(filters=...))."""
+
+    @pytest.fixture(scope="class")
+    def attr_built(self, ray_session, corpus, tmp_path_factory):
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        out = tmp_path_factory.mktemp("attr_idx") / "idx"
+        return build_index(
+            str(corpus / "transcripts"),
+            out,
+            IndexConfig(attr_cols=("role", "tool")),
+            concurrency=2,
+        )
+
+    @pytest.fixture(scope="class")
+    def doc_attrs(self, corpus):
+        """doc_id -> (role, tool) under the global (conv_id, turn_idx) order."""
+        t = pq.read_table(
+            corpus / "transcripts",
+            columns=["conv_id", "turn_idx", "role", "tool"],
+        ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        return list(zip(t["role"].to_pylist(), t["tool"].to_pylist()))
+
+    def test_filtered_equals_postfiltered_full_ranking(
+        self, ray_session, attr_built, corpus, doc_attrs
+    ):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(attr_built, local=True)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries[:6]:
+            full = eng.query(qt, "w2", attr_built.N, "exhaustive")
+            for filters, pred in [
+                ({"role": "user"}, lambda a: a[0] == "user"),
+                ({"tool": ["search", "calculator"]},
+                 lambda a: a[1] in ("search", "calculator")),
+                ({"role": ["assistant", "tool"], "tool": "search"},
+                 lambda a: a[0] in ("assistant", "tool") and a[1] == "search"),
+            ]:
+                got = eng.query(qt, "w2", 10, filters=filters)
+                want = [r for r in full if pred(doc_attrs[r["doc_id"]])][:10]
+                assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], (qt, filters)
+                assert np.allclose(
+                    [g["score"] for g in got], [w["score"] for w in want]
+                ), (qt, filters)
+
+    def test_actor_path_matches_local(self, ray_session, attr_built, corpus):
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        cfg = QueryConfig(num_actors=2)
+        loc = QueryEngine(attr_built, cfg, local=True)
+        act = QueryEngine(attr_built, cfg)
+        qt = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()[0]
+        f = {"role": "user"}
+        assert loc.query(qt, "w2", 10, filters=f) == act.query(
+            qt, "w2", 10, filters=f
+        )
+
+    def test_unattributed_index_raises(self, ray_session, built, corpus):
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built, local=True)
+        qt = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()[0]
+        with pytest.raises(Exception, match="attrs sidecar"):
+            eng.query(qt, "w2", 10, filters={"role": "user"})
