@@ -145,7 +145,7 @@ def _cmd_batch_query(args) -> None:
         t["query_id"].to_pylist() if "query_id" in t.schema.names
         else list(range(len(texts)))
     )
-    all_results = eng.query_many(texts)
+    all_results = eng.query_many(texts, filters=_parse_filters(args.filter))
     if args.snippet:
         flat = [r for rows in all_results for r in rows]
         _headlines(eng, flat)
@@ -421,6 +421,9 @@ def main(argv: list[str] | None = None) -> None:
     bq = sub.add_parser("batch-query", help="parquet query set -> JSON lines")
     query_args(bq)
     bq.add_argument("queries", help="parquet with text [, query_id] columns")
+    bq.add_argument("--filter", action="append", metavar="COL=VAL[,VAL...]",
+                    help="restrict every query to docs matching an "
+                         "attribute (index must be built with --attrs)")
     bq.set_defaults(fn=_cmd_batch_query)
 
     g = sub.add_parser(

@@ -406,10 +406,11 @@ class IndexShardActor:
     def score(self, terms, weights, scheme, k, algorithm, filters=None):
         return self.state.score(terms, weights, scheme, k, algorithm, filters)
 
-    def score_many(self, queries, scheme, k, algorithm):
+    def score_many(self, queries, scheme, k, algorithm, filters=None):
         """Batch form: [(terms, weights), ...] -> list of partial top-ks."""
         return [
-            self.state.score(t, w, scheme, k, algorithm) for t, w in queries
+            self.state.score(t, w, scheme, k, algorithm, filters)
+            for t, w in queries
         ]
 
     def docs_with_all(self, terms, exclude_terms=None):
@@ -788,9 +789,11 @@ class QueryEngine:
         scheme: str | None = None,
         k: int | None = None,
         algorithm: str | None = None,
+        filters: dict | None = None,
     ) -> list[list[dict]]:
         """Batch scoring: ONE round-trip per actor for the whole query set
-        (throughput path; per-query fan-out is the latency path)."""
+        (throughput path; per-query fan-out is the latency path).  The
+        optional ``filters`` apply to every query in the batch."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
         algorithm = algorithm or self.config.algorithm
@@ -806,13 +809,13 @@ class QueryEngine:
         payload = [(terms, weights) for _, terms, weights, _ in live]
         if self.local:
             per_actor = [
-                [s.score(t, w, scheme, k, algorithm) for t, w in payload]
+                [s.score(t, w, scheme, k, algorithm, filters) for t, w in payload]
                 for s in self.states
             ]
         else:
             per_actor = ray.get(
                 [
-                    a.score_many.remote(payload, scheme, k, algorithm)
+                    a.score_many.remote(payload, scheme, k, algorithm, filters)
                     for a in self.actors
                 ]
             )

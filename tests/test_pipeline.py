@@ -1104,3 +1104,55 @@ class TestFilteredQuery:
         qt = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()[0]
         with pytest.raises(Exception, match="attrs sidecar"):
             eng.query(qt, "w2", 10, filters={"role": "user"})
+
+
+class TestAppendWithAttrs:
+    def test_append_extends_attr_sidecar(self, ray_session, corpus, tmp_path):
+        """An appended index with attr_cols keeps filtered retrieval exact
+        over the FULL doc range (old + new)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        t = pq.read_table(corpus / "transcripts")
+        convs = sorted(set(t["conv_id"].to_pylist()))
+        half = convs[: len(convs) // 2]
+        a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+        for d, keep in ((a_dir, half), (b_dir, convs[len(convs) // 2:])):
+            d.mkdir()
+            pq.write_table(
+                t.filter(pc.is_in(t["conv_id"], value_set=pa.array(keep))),
+                d / "part.parquet",
+            )
+        out = tmp_path / "idx"
+        m0 = build_index(
+            str(a_dir), out, IndexConfig(attr_cols=("role",)), concurrency=2
+        )
+        m1 = build_index(str(b_dir), out, concurrency=2, append=True)
+        assert m1.N > m0.N
+
+        # one-shot reference with the same pinned salt layout
+        full = tmp_path / "full_in"
+        full.mkdir()
+        (full / "pa.parquet").symlink_to(a_dir / "part.parquet")
+        (full / "pb.parquet").symlink_to(b_dir / "part.parquet")
+        mo = build_index(
+            str(full),
+            tmp_path / "oneshot",
+            IndexConfig(
+                attr_cols=("role",), range_size_override=m0.range_size
+            ),
+            concurrency=2,
+        )
+        qa = QueryEngine(m1, local=True)
+        qo = QueryEngine(mo, local=True)
+        any_hits = False
+        for text in ("flow mach number", "experimental results"):
+            got = qa.query(text, "w2", 10, filters={"role": "user"})
+            want = qo.query(text, "w2", 10, filters={"role": "user"})
+            assert got == want
+            any_hits = any_hits or bool(got)
+        assert any_hits  # the sidecar actually admits user-turn docs
