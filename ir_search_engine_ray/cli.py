@@ -122,7 +122,8 @@ def _cmd_query(args) -> None:
     eng = _engine(args)
     filters = _parse_filters(args.filter)
     if args.phrase:
-        rows = eng.phrase_query(args.text, args.scheme, args.k)
+        rows = eng.phrase_query(args.text, args.scheme, args.k,
+                                filters=filters)
     elif args.explain:
         rows = eng.explain(args.text, args.scheme, args.k)
     else:

@@ -323,12 +323,17 @@ class ShardState:
         return out
 
     def docs_with_all(
-        self, terms: list[str], exclude_terms: list[str] | None = None
+        self,
+        terms: list[str],
+        exclude_terms: list[str] | None = None,
+        filters: dict | None = None,
     ) -> list[int]:
         """Local doc_ids containing EVERY term (AND semantics), minus docs
         containing any ``exclude_terms`` (NOT semantics) — the phrase /
-        boolean candidate generator.  A doc's postings all live in one
-        shard, so per-shard results concatenate into the global set."""
+        boolean candidate generator.  ``filters`` additionally restricts
+        to docs matching the attribute filters (attrs sidecar).  A doc's
+        postings all live in one shard, so per-shard results concatenate
+        into the global set."""
         datas = []
         for t in set(terms):
             d = self.terms.get(t)
@@ -347,6 +352,9 @@ class ShardState:
             d = self.terms.get(t)
             if d is not None:
                 ids = ids[~np.isin(ids, d.ids, assume_unique=True)]
+        if filters and ids.size:
+            mask = self.allowed_mask(filters)
+            ids = ids[mask[ids - self.doc_lo]]
         return ids.tolist()
 
     def term_weights(
@@ -413,8 +421,8 @@ class IndexShardActor:
             for t, w in queries
         ]
 
-    def docs_with_all(self, terms, exclude_terms=None):
-        return self.state.docs_with_all(terms, exclude_terms)
+    def docs_with_all(self, terms, exclude_terms=None, filters=None):
+        return self.state.docs_with_all(terms, exclude_terms, filters)
 
     def term_weights(self, terms, doc_ids, scheme):
         return self.state.term_weights(terms, doc_ids, scheme)
@@ -587,6 +595,7 @@ class QueryEngine:
         k: int | None = None,
         *,
         max_candidates: int = 1_000_000,
+        filters: dict | None = None,
     ) -> list[dict]:
         """Phrase search without a positional index: candidate docs are the
         AND-intersection of the phrase terms' postings (per shard actor,
@@ -609,10 +618,13 @@ class QueryEngine:
             return []
         uniq = list(dict.fromkeys(terms))
         if self.local:
-            cand_parts = [s.docs_with_all(uniq) for s in self.states]
+            cand_parts = [
+                s.docs_with_all(uniq, None, filters) for s in self.states
+            ]
         else:
             cand_parts = ray.get(
-                [a.docs_with_all.remote(uniq) for a in self.actors]
+                [a.docs_with_all.remote(uniq, None, filters)
+                 for a in self.actors]
             )
         cand = np.sort(np.concatenate([np.array(p, dtype=np.int64)
                                        for p in cand_parts])
@@ -655,6 +667,7 @@ class QueryEngine:
         must_not: str = "",
         scheme: str | None = None,
         k: int | None = None,
+        filters: dict | None = None,
     ) -> list[dict]:
         """Boolean retrieval: docs containing EVERY normalized term of
         ``must`` and NONE of ``must_not``, ranked by the bag-of-words
@@ -669,10 +682,13 @@ class QueryEngine:
         uniq = list(dict.fromkeys(terms))
         not_terms = list(dict.fromkeys(self.pipe(must_not))) if must_not else []
         if self.local:
-            parts = [s.docs_with_all(uniq, not_terms) for s in self.states]
+            parts = [
+                s.docs_with_all(uniq, not_terms, filters) for s in self.states
+            ]
         else:
             parts = ray.get(
-                [a.docs_with_all.remote(uniq, not_terms) for a in self.actors]
+                [a.docs_with_all.remote(uniq, not_terms, filters)
+                 for a in self.actors]
             )
         cand = np.sort(
             np.concatenate([np.array(p, dtype=np.int64) for p in parts])
