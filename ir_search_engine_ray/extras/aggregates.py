@@ -133,3 +133,135 @@ def top_terms_per_group(
         .groupby(group_col)
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def exact_quantiles_by(
+    ds: ray.data.Dataset,
+    col: str,
+    by: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> ray.data.Dataset:
+    """(group, quantile, value): :func:`exact_quantiles` per group.
+
+    Same histogram discipline, never a per-group value collect: stage 1
+    reduces each batch to (group, value, cnt) partials, stage 2 is the
+    (group, value) groupby, stage 3 computes each group's quantiles from
+    its HISTOGRAM rows (distinct-value-bounded) in one map_groups task —
+    a group's raw rows never co-locate, only its value histogram does."""
+
+    def batch_hist(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                by: batch[by].to_pandas(),
+                "value": batch[col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([by, "value"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                by: pa.array(g[by], type=batch[by].type),
+                "value": pa.array(g["value"].astype(np.int64)),
+                "cnt": pa.array(g["cnt"].astype(np.int64)),
+            }
+        )
+
+    def group_quantiles(group: pa.Table) -> pa.Table:
+        vals = group["value"].to_numpy()
+        cnts = group["cnt"].to_numpy()
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.floor(q * (n - 1)))
+            out_q.append(q)
+            out_v.append(int(vals[int(np.searchsorted(cum, rank + 1))]))
+        key = group[by][0]
+        return pa.table(
+            {
+                by: pa.array([key.as_py()] * len(out_q), type=group[by].type),
+                "quantile": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["cnt" if c == "sum(cnt)" else c for c in batch.column_names]
+        )
+
+    return (
+        ds.select_columns([by, col])
+        .map_batches(batch_hist, batch_format="pyarrow")
+        .groupby([by, "value"])
+        .sum("cnt")
+        .map_batches(rename, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(group_quantiles, batch_format="pyarrow")
+    )
+
+
+def tfidf_postings(
+    docs_ds: ray.data.Dataset, *, n_docs: int | None = None
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, w) — the vector-space document model as exploded
+    weighted postings, w = tf * ln(N / df) / ln(N) rounded to 6.
+
+    The distributed-join form of the engine's weighting math: per-batch
+    (doc_id, term, tf) explode, a (term) groupby for df (vocabulary-sized
+    rows), then a hash JOIN of postings against the df table on term —
+    no vocabulary broadcast, both sides stream.  The inverted-index build
+    (pipelines/index_build.py) remains the scale path for SERVING; this
+    operator exports the same weights as a flat table for downstream
+    training/analysis jobs."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids, terms, tfs = [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for term, tf in Counter(_TOKEN.findall(text.lower())).items():
+                doc_ids.append(did)
+                terms.append(term)
+                tfs.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    tf_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    df_ds = tf_ds.groupby("term").count().map_batches(
+        lambda b: b.rename_columns(
+            ["df" if c == "count()" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = tf_ds.join(df_ds, join_type="inner", on=("term",),
+                        num_partitions=8)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        df = batch["df"].to_numpy().astype(np.float64)
+        w = np.round(tf * np.log(n_docs / df) / np.log(n_docs), 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "tf": batch["tf"],
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(weigh, batch_format="pyarrow")

@@ -646,6 +646,16 @@ def q_top_terms_lang(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doclen_quantiles_by_lang(sf_dir: str) -> ray.data.Dataset:
+    return aggregates.exact_quantiles_by(
+        _docs_ds(sf_dir), "n_chars", "lang", qs=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+def q_tfidf_postings(sf_dir: str) -> ray.data.Dataset:
+    return aggregates.tfidf_postings(_docs_ds(sf_dir))
+
+
 def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     """Sequence packing (distributed exclusive prefix sum); small
     max_tokens so boundary-straddling docs actually occur at sf0.01."""
@@ -1534,6 +1544,33 @@ LEFT JOIN a3 ON d.doc_id = a3.doc_id
             + ")"
             for qid, text in _first_queries(sf_dir)
         ),
+        "doclen_quantiles_by_lang": """
+WITH r AS (SELECT lang, n_chars AS v,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+                    AS rnk
+           FROM documents),
+n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+SELECT n.lang, CAST(q.q AS DOUBLE) AS quantile, r.v AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
+CROSS JOIN n
+JOIN r ON r.lang = n.lang
+      AND r.rnk = CAST(floor(q.q * (n.n - 1)) AS BIGINT)
+""",
+        "tfidf_postings": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tf2.doc_id, tf2.term, tf2.tf,
+       round(tf2.tf * ln((SELECT n FROM n) / df2.df)
+             / ln((SELECT n FROM n)), 6) AS w
+FROM tf2 JOIN df2 USING (term)
+""",
     }
 
 
@@ -1679,4 +1716,6 @@ def build_queries() -> dict:
         "json_rollup": q_json_rollup,
         "repetition_signals": q_repetition_signals,
         "topk_w2_filtered": q_topk_w2_filtered,
+        "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
+        "tfidf_postings": q_tfidf_postings,
     }

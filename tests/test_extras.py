@@ -1529,3 +1529,63 @@ class TestRepetition:
         assert out["n_dup_2grams"] == [5, 0, 0]
         assert out["n_3grams"] == [4, 4, 0]
         assert out["n_dup_3grams"] == [4, 0, 0]
+
+
+class TestGroupedQuantilesAndTfidf:
+    def test_grouped_quantiles_match_per_group_serial(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import aggregates
+
+        rng = np.random.default_rng(13)
+        langs = np.array(["en", "fr"])[rng.integers(0, 2, size=400)]
+        vals = rng.integers(10, 500, size=400)
+        t = pa.table(
+            {
+                "lang": pa.array(langs.tolist()),
+                "n_chars": pa.array(vals, type=pa.int64()),
+            }
+        )
+        out = (
+            aggregates.exact_quantiles_by(
+                ray.data.from_arrow(t).repartition(5), "n_chars", "lang",
+                qs=(0.0, 0.5, 1.0),
+            )
+            .to_pandas()
+            .sort_values(["lang", "quantile"], ignore_index=True)
+        )
+        for lang in ("en", "fr"):
+            sub = np.sort(vals[langs == lang])
+            got = out[out["lang"] == lang]["value"].tolist()
+            want = [
+                int(sub[int(np.floor(q * (sub.size - 1)))])
+                for q in (0.0, 0.5, 1.0)
+            ]
+            assert got == want, lang
+
+    def test_tfidf_join_matches_serial(self, ray_session):
+        import math
+
+        import ray.data
+
+        from ir_search_engine_ray.extras import aggregates
+
+        texts = ["apple banana apple", "banana cherry", "apple cherry date"]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        out = (
+            aggregates.tfidf_postings(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .set_index(["doc_id", "term"])
+        )
+        df = {"apple": 2, "banana": 2, "cherry": 2, "date": 1}
+        assert out.loc[(0, "apple")]["tf"] == 2
+        for (did, term), row in out.iterrows():
+            want = round(
+                row["tf"] * math.log(3 / df[term]) / math.log(3), 6
+            )
+            assert row["w"] == want, (did, term)

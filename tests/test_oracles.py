@@ -90,6 +90,8 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "json_rollup",
         "repetition_signals",
         "topk_w2_filtered",
+        "doclen_quantiles_by_lang",
+        "tfidf_postings",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
