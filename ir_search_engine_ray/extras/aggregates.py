@@ -150,20 +150,26 @@ def exact_quantiles_by(
     a group's raw rows never co-locate, only its value histogram does."""
 
     def batch_hist(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        df = pd.DataFrame(
-            {
-                by: batch[by].to_pandas(),
-                "value": batch[col].to_numpy(zero_copy_only=False),
-            }
-        )
-        g = df.groupby([by, "value"], sort=False).size().reset_index(name="cnt")
+        # numpy-pure combine: dictionary-encode the group, pack
+        # (group_code, value) into one int64 key, np.unique counts it
+        enc = pc.dictionary_encode(batch[by].combine_chunks())
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if vals.size and (vals.min() < 0 or vals.max() >= (1 << 40)):
+            raise ValueError(
+                f"exact_quantiles_by expects {col} in [0, 2^40)"
+            )
+        key = (codes << 40) | vals
+        uniq, counts = np.unique(key, return_counts=True)
+        u_codes = (uniq >> 40).astype(np.int64)
+        u_vals = uniq & ((1 << 40) - 1)
         return pa.table(
             {
-                by: pa.array(g[by], type=batch[by].type),
-                "value": pa.array(g["value"].astype(np.int64)),
-                "cnt": pa.array(g["cnt"].astype(np.int64)),
+                by: enc.dictionary.take(pa.array(u_codes)),
+                "value": pa.array(u_vals.astype(np.int64)),
+                "cnt": pa.array(counts.astype(np.int64)),
             }
         )
 

@@ -1200,3 +1200,72 @@ class TestFilteredPhraseBoolean:
         wantb = [r for r in fullb if roles[r["doc_id"]] == "user"][:10]
         assert [r["doc_id"] for r in filtb] == [r["doc_id"] for r in wantb]
         assert all(roles[r["doc_id"]] == "user" for r in filtb)
+
+
+class TestAttrsResume:
+    def test_sigkill_mid_attrs_then_resume(self, ray_session, corpus, tmp_path):
+        """Kill a build during/after the attrs stage; resuming must produce
+        a complete, exact sidecar (every doc_id present once) and filtered
+        queries identical to an uninterrupted attrs build."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from ir_search_engine_ray.config import IndexConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        out = tmp_path / "killed_attr_idx"
+        script = (
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from ir_search_engine_ray.config import IndexConfig\n"
+            "from ir_search_engine_ray.pipelines.index_build import build_index\n"
+            f"build_index({str(corpus / 'transcripts')!r}, {str(out)!r}, "
+            "IndexConfig(tokenize_batch_size=64, attr_cols=('role',)))\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        attrs = out / "attrs"
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if len(list(attrs.glob("attr-d*.parquet"))) >= 1:
+                    break
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+
+        meta = build_index(
+            str(corpus / "transcripts"),
+            out,
+            IndexConfig(tokenize_batch_size=64, attr_cols=("role",)),
+            concurrency=2,
+        )
+        # sidecar complete and exact: every doc exactly once
+        t = pq.read_table(attrs)
+        ids = np.sort(t["doc_id"].to_numpy())
+        assert ids.tolist() == list(range(meta.N))
+
+        ref = build_index(
+            str(corpus / "transcripts"),
+            tmp_path / "clean_idx",
+            IndexConfig(tokenize_batch_size=64, attr_cols=("role",)),
+            concurrency=2,
+        )
+        qa = QueryEngine(meta, local=True)
+        qb = QueryEngine(ref, local=True)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries[:4]:
+            assert qa.query(qt, "w2", 10, filters={"role": "user"}) == qb.query(
+                qt, "w2", 10, filters={"role": "user"}
+            )
