@@ -211,7 +211,10 @@ def exact_quantiles_by(
 
 
 def tfidf_postings(
-    docs_ds: ray.data.Dataset, *, n_docs: int | None = None
+    docs_ds: ray.data.Dataset,
+    *,
+    n_docs: int | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, term, tf, w) — the vector-space document model as exploded
     weighted postings, w = tf * ln(N / df) / ln(N) rounded to 6.
@@ -254,8 +257,12 @@ def tfidf_postings(
         ),
         batch_format="pyarrow",
     )
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     joined = tf_ds.join(df_ds, join_type="inner", on=("term",),
-                        num_partitions=8)
+                        num_partitions=num_partitions)
 
     def weigh(batch: pa.Table) -> pa.Table:
         tf = batch["tf"].to_numpy().astype(np.float64)
