@@ -235,3 +235,110 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return cosine_topk(probed, q, k, id_col=id_col, exclude=exclude)
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_rows, n_tables) uint64 bucket codes: sign bits of the projections
+    onto each table's hyperplanes."""
+    # mat (n, d) x planes (tables, planes, d) -> (tables, n, planes)
+    proj = np.einsum("nd,tpd->tnp", mat, planes)
+    bits = (proj > 0).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(planes.shape[1], dtype=np.uint64))
+    return (bits * weights).sum(axis=2).T  # (n, tables)
+
+
+def _probe_codes(code: int, n_planes: int, max_hamming: int) -> np.ndarray:
+    """All bucket codes within ``max_hamming`` bit flips of ``code``."""
+    from itertools import combinations
+
+    out = [code]
+    for h in range(1, max_hamming + 1):
+        for flip in combinations(range(n_planes), h):
+            c = code
+            for b in flip:
+                c ^= 1 << b
+            out.append(c)
+    return np.unique(np.array(out, dtype=np.uint64))
+
+
+def lsh_topk(
+    emb_ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    exclude: int | None = None,
+) -> pa.Table:
+    """Random-hyperplane LSH top-k — the bucketed alternative to IVF.
+
+    Seeded hyperplanes give every vector ``n_tables`` sign-bit bucket
+    codes; a row is a CANDIDATE when any of its codes falls in the
+    query's probe set (its own buckets plus all codes within
+    ``probe_hamming`` bit flips, per table).  Candidates get exact cosine
+    within their batch (tiny per-batch top-k partials, bounded merge) —
+    so the corpus pass reads every row but does the expensive math only on
+    the candidate fraction; no shuffle, no training step (vs IVF's
+    k-means), deterministic for a fixed seed.  ``probe_hamming ==
+    n_planes`` probes every bucket and degenerates to exact brute force
+    (asserted in tests, mirroring ``ivf_topk``'s full-probe identity).
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    dim = q.size
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    q_codes = _lsh_codes(q[None, :], planes)[0]  # (tables,)
+    probe = [
+        _probe_codes(int(c), n_planes, probe_hamming) for c in q_codes
+    ]
+    bcast = ray.put((q, planes, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv, pl, pr = ray.get(bcast) if isinstance(bcast, ray.ObjectRef) else bcast
+        mat = _batch_matrix(batch)
+        ids = batch[id_col].to_numpy()
+        if exclude is not None:
+            keep = ids != exclude
+            mat, ids = mat[keep], ids[keep]
+        if ids.size == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        codes = _lsh_codes(mat, pl)  # (n, tables)
+        cand = np.zeros(ids.size, dtype=bool)
+        for t in range(codes.shape[1]):
+            idx = np.searchsorted(pr[t], codes[:, t])
+            idx[idx == pr[t].size] = 0
+            cand |= pr[t][idx] == codes[:, t]
+        if not cand.any():
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        mat, ids = mat[cand], ids[cand]
+        cos = (mat @ qv) / np.maximum(
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(qv), 1e-30
+        )
+        take = min(k, cos.size)
+        part = np.argpartition(-cos, take - 1)[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[part], type=pa.int64()),
+                "cosine": pa.array(cos[part], type=pa.float64()),
+            }
+        )
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cos = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order]),
+            "cosine": pa.array(np.round(cos[order], 6)),
+        }
+    )

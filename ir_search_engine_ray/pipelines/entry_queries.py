@@ -503,6 +503,18 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_lsh_full(sf_dir: str) -> pa.Table:
+    """LSH with the full probe set degrades to exact — which makes the
+    bucketing machinery (seeded hyperplanes, per-table codes, probe-set
+    candidate filter) driver-checkable against the exact SQL oracle,
+    mirroring ``ann_ivf_full``."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_topk(
+        emb, _query_vec(sf_dir, 0), k=10, n_planes=6, n_tables=2,
+        probe_hamming=6, exclude=0,
+    )
+
+
 def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
@@ -1341,6 +1353,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
         "ann_cosine_topk": _SQL_ANN_EXACT,
         "ann_ivf_full": _SQL_ANN_EXACT,
+        "ann_lsh_full": _SQL_ANN_EXACT,
         "ann_batch_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1718,4 +1731,5 @@ def build_queries() -> dict:
         "topk_w2_filtered": q_topk_w2_filtered,
         "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
         "tfidf_postings": q_tfidf_postings,
+        "ann_lsh_full": q_ann_lsh_full,
     }

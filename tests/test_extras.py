@@ -1589,3 +1589,58 @@ class TestGroupedQuantilesAndTfidf:
                 row["tf"] * math.log(3 / df[term]) / math.log(3), 6
             )
             assert row["w"] == want, (did, term)
+
+
+class TestLshAnn:
+    def _emb(self, n=200, dim=16, seed=5):
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        mat = rng.normal(size=(n, dim))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in mat], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        return ray.data.from_arrow(t).repartition(4), mat
+
+    def test_full_probe_equals_exact(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb(n=120)
+        q = mat[7]
+        exact = ann.cosine_topk(ds, q, k=5, exclude=7).to_pandas()
+        lsh = ann.lsh_topk(
+            ds, q, k=5, n_planes=6, n_tables=2, probe_hamming=6, exclude=7
+        ).to_pandas()
+        assert lsh["vec_id"].tolist() == exact["vec_id"].tolist()
+        assert lsh["cosine"].tolist() == exact["cosine"].tolist()
+
+    def test_partial_probe_recall(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb(n=300)
+        q = mat[11]
+        exact = set(
+            ann.cosine_topk(ds, q, k=10, exclude=11)["vec_id"].to_pylist()
+        )
+        lsh = set(
+            ann.lsh_topk(
+                ds, q, k=10, n_planes=10, n_tables=6, probe_hamming=2,
+                exclude=11,
+            )["vec_id"].to_pylist()
+        )
+        assert len(exact & lsh) >= 5  # approximate but not garbage
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb(n=150)
+        a = ann.lsh_topk(ds, mat[3], k=8, exclude=3).to_pandas()
+        b = ann.lsh_topk(
+            ds.repartition(9), mat[3], k=8, exclude=3
+        ).to_pandas()
+        assert a["vec_id"].tolist() == b["vec_id"].tolist()
