@@ -255,6 +255,8 @@ def decode_features(
     if real:
         # fail on the driver, not N times inside actors
         _require_real(kinds, "media decoding")
+    # (1, N) autoscaling: a fixed pool >= the cluster's CPUs would pin
+    # every slot with idle actors and starve the upstream read
     return media_ds.map_batches(
         DecodeMedia,
         fn_constructor_kwargs={
@@ -262,7 +264,7 @@ def decode_features(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -390,7 +392,7 @@ def resize_images(
         fn_constructor_args=(width, height, real),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -407,7 +409,7 @@ def sample_frames(
         fn_constructor_args=(every_ms, real),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
