@@ -248,9 +248,17 @@ def tfidf_postings(
 
     if n_docs is None:
         n_docs = docs_ds.count()
+    if n_docs < 2:
+        # w divides by ln(N): N=1 gives 0/0 (NaN for df=1), N=0 is vacuous
+        raise ValueError(
+            f"tfidf_postings needs n_docs >= 2 (ln(N) is the w denominator); "
+            f"got {n_docs}"
+        )
+    # tf_ds feeds TWO consumers (the df groupby and the join's left side);
+    # without materializing, lazy execution re-runs the explode per consumer
     tf_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow"
-    )
+    ).materialize()
     df_ds = tf_ds.groupby("term").count().map_batches(
         lambda b: b.rename_columns(
             ["df" if c == "count()" else c for c in b.column_names]

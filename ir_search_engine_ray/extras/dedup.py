@@ -311,6 +311,14 @@ def _nonempty_blocks(ds: ray.data.Dataset) -> tuple[list, int]:
 # two-shuffle path runs — no driver-side structure at any size.
 BROADCAST_PAIRS_MAX = 50_000
 
+# the broadcast path's driver state is really O(pairs x shingles-per-doc):
+# long documents can blow the pair-count ceiling's intent.  Sketch BYTES are
+# metered block-by-block while assembling the driver map; crossing this
+# ceiling abandons the broadcast and reruns as the partitioned path, so
+# driver peak memory is bounded by ceiling + one block regardless of doc
+# length.
+BROADCAST_SKETCH_BYTES_MAX = 256 * 1024 * 1024
+
 VERIFY_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
 )
@@ -417,15 +425,33 @@ def verify_jaccard(
         sk_refs, _n = _nonempty_blocks(
             docs_sel.map_batches(sketch, batch_format="pyarrow")
         )
-        sh_map: dict[int, np.ndarray] = {}
-        for t in ray.get(sk_refs):
+        # assemble the driver map block-by-block with a running BYTE meter:
+        # the pair-count ceiling alone leaves driver memory proportional to
+        # document length (ADVICE r3); crossing the byte ceiling abandons
+        # the broadcast and falls through to the partitioned path below
+        sh_map: dict[int, np.ndarray] | None = {}
+        sketch_bytes = 0
+        for ref in sk_refs:
+            t = ray.get(ref)
             for d, s in zip(t["doc_id"].to_numpy(), t["sh"].to_pylist()):
+                sketch_bytes += len(s)
                 sh_map[int(d)] = np.frombuffer(s, dtype=np.uint64)
-        return ray.data.from_arrow(_pair_jaccard(da, db, sh_map, threshold))
+            if sketch_bytes > BROADCAST_SKETCH_BYTES_MAX:
+                sh_map = None  # free before the partitioned rerun
+                break
+        if sh_map is not None:
+            return ray.data.from_arrow(
+                _pair_jaccard(da, db, sh_map, threshold)
+            )
 
     # ---- partitioned path ------------------------------------------------
     P = num_partitions or N_SHUFFLE_PARTS
     pairs = ray.data.from_arrow_refs(pair_refs)
+    # the pair side's null-text placeholder must carry the CORPUS text type
+    # (large_string is common for big parquet); a hardcoded pa.string()
+    # hands union two mismatched schemas (ADVICE r3)
+    _dsch = docs_sel.schema()
+    text_type = dict(zip(_dsch.names, _dsch.types))["text"]
 
     def tag_docs(b: pa.Table) -> pa.Table:
         key = b["doc_id"].to_numpy().astype(np.int64)
@@ -435,7 +461,7 @@ def verify_jaccard(
                 "key": pa.array(key),
                 "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
                 "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
-                "text": b["text"],
+                "text": b["text"].cast(text_type),
                 "part": pa.array((key % P).astype(np.int32)),
             }
         )
@@ -449,7 +475,7 @@ def verify_jaccard(
                 "key": pa.array(key),
                 "doc_a": pa.array(np.concatenate([a, a])),
                 "doc_b": pa.array(np.concatenate([bb, bb])),
-                "text": pa.nulls(len(key), type=pa.string()),
+                "text": pa.nulls(len(key), type=text_type),
                 "part": pa.array((key % P).astype(np.int32)),
             }
         )
@@ -586,7 +612,8 @@ def anti_join_ids(
         cols: dict[str, pa.Array] = {}
         for n in names:
             if n == on:
-                cols[n] = pa.array(key, type=pa.int64())
+                # cast to the LEFT side's id type so union sees one schema
+                cols[n] = pa.array(key, type=pa.int64()).cast(types[n])
             else:
                 cols[n] = pa.nulls(len(key), type=types[n])
         t = pa.table(cols)

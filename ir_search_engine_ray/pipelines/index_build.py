@@ -699,9 +699,36 @@ def append_index(
     if stage_complete(out / "stage_convs", fp) is None:
         # os.replace is the extension's commit point; a crash between it and
         # the marker leaves the table extended with no marker, so detect
-        # "already extended" by row count before re-running
+        # "already extended" by row count before re-running.  The _STARTED
+        # record pins WHICH delta the crashed extension was for (fp hashes
+        # config + full lineage): retrying a crashed append with a DIFFERENT
+        # delta must not silently reuse the half-extended table (ADVICE r3)
+        # — the skipped files' conversations would be missing from it and
+        # the blocks stage would die with a distant assign_doc_ids KeyError.
+        convs_stage = out / "stage_convs"
+        started_path = convs_stage / "_STARTED"
         n_convs_old = int(stats_old["metrics"]["n_convs"])
-        if pq.read_metadata(convs_path).num_rows == n_convs_old:
+        if pq.read_metadata(convs_path).num_rows != n_convs_old:
+            started_fp = None
+            if started_path.exists():
+                try:
+                    started_fp = json.loads(
+                        started_path.read_text()
+                    ).get("fingerprint")
+                except (OSError, json.JSONDecodeError):
+                    started_fp = None
+            if started_fp != fp:
+                raise ValueError(
+                    "append_index: convs.parquet is already extended past "
+                    f"the recorded {n_convs_old} conversations, but the "
+                    "extension was started for a different delta "
+                    f"(recorded fingerprint {started_fp!r} != this run's "
+                    f"{fp!r}). Retry the crashed append with its original "
+                    "input files, or rebuild the index from scratch."
+                )
+        else:
+            convs_stage.mkdir(parents=True, exist_ok=True)
+            atomic_write_json(started_path, {"fingerprint": fp})
             ds = read_transcripts(
                 new_paths,
                 columns=["conv_id", "turn_idx"],

@@ -157,13 +157,22 @@ class ConvResolver:
         # group the needed convs by starting-hint row group, then walk with
         # the step-back guard (string stats are hints, not bounds)
         i = 0
+        n_rg = len(self._rg_conv_min)
+        force_rg: int | None = None
         while i < len(need):
             c = need[i]
-            rg = self._rg_for_conv(c)
-            g_convs, g_bases = self._group(rg)
-            while g_convs and c < g_convs[0] and rg > 0:
-                rg -= 1
+            if force_rg is not None:
+                # progress guard engaged: linear walk right, no step-back
+                # (the hint already proved non-monotone for this key)
+                rg, force_rg = force_rg, None
                 g_convs, g_bases = self._group(rg)
+            else:
+                rg = self._rg_for_conv(c)
+                g_convs, g_bases = self._group(rg)
+                while g_convs and c < g_convs[0] and rg > 0:
+                    rg -= 1
+                    g_convs, g_bases = self._group(rg)
+            start_i = i
             # consume every needed conv that lands in this group
             while i < len(need):
                 c = need[i]
@@ -174,6 +183,16 @@ class ConvResolver:
                     raise KeyError(f"conv_id not in index: {c!r}")
                 bases[i] = g_bases[p]
                 i += 1
+            if i == start_i:
+                # no progress: a missing min(conv_id) statistic ('' hint)
+                # made the hint array non-monotone and the binary search
+                # landed LEFT of the true group — without this the outer
+                # loop re-derives the same group forever (ADVICE r3).
+                # Walk right one group at a time; running off the end means
+                # the key is not in the table.
+                if rg + 1 >= n_rg:
+                    raise KeyError(f"conv_id not in index: {need[i]!r}")
+                force_rg = rg + 1
         return pa.array(need, type=pa.string()), bases
 
     def _rg_for_conv(self, conv: str) -> int:

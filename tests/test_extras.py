@@ -1644,3 +1644,84 @@ class TestLshAnn:
             ds.repartition(9), mat[3], k=8, exclude=3
         ).to_pandas()
         assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+class TestAdviceR3Fixes:
+    """Regression tests for the round-3 ADVICE items (extras side)."""
+
+    def test_verify_jaccard_sketch_byte_ceiling_spills(
+        self, ray_session, monkeypatch
+    ):
+        """The broadcast verify path is bounded by sketch BYTES, not just
+        pair count: with a tiny byte ceiling it must abandon the broadcast
+        mid-assembly and rerun partitioned — same verified pairs."""
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(CORPUS, num_blocks=2)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        want = dedup.verify_jaccard(pairs, docs, threshold=0.3).to_pandas()
+        monkeypatch.setattr(dedup, "BROADCAST_SKETCH_BYTES_MAX", 1)
+        got = dedup.verify_jaccard(
+            pairs, docs, threshold=0.3, broadcast_pairs_max=10_000
+        ).to_pandas()
+
+        def key(df):
+            return sorted(map(tuple, df.values.tolist()))
+
+        assert key(got) == key(want)
+        assert len(got) > 0
+
+    def test_partitioned_verify_large_string_corpus(self, ray_session):
+        """A large_string text column (the common big-parquet shape) must
+        flow through the partitioned verify path: the pair side's null-text
+        placeholder carries the corpus text type."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in CORPUS], type=pa.int64()),
+                "text": pa.array(
+                    [r[1] for r in CORPUS], type=pa.large_string()
+                ),
+            }
+        )
+        docs = ray.data.from_arrow(t).repartition(2)
+        pairs = dedup.minhash_lsh_pairs(docs)
+        out = dedup.verify_jaccard(
+            pairs, docs, threshold=0.3, broadcast_pairs_max=0
+        ).to_pandas()
+        got = {tuple(p) for p in out[["doc_a", "doc_b"]].itertuples(index=False)}
+        assert (0, 1) in got and (0, 3) in got
+
+    def test_anti_join_large_string_and_narrow_id(self, ray_session):
+        """anti_join_ids with a non-default id type and large_string payload:
+        the right side's placeholder rows must match the left schema."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int32()),
+                "text": pa.array(
+                    [r[1] for r in CORPUS], type=pa.large_string()
+                ),
+            }
+        )
+        left = ray.data.from_arrow(t).repartition(2)
+        ids = ray.data.from_arrow(
+            pa.table({"doc_b": pa.array([1, 3], type=pa.int64())})
+        )
+        out = dedup.anti_join_ids(left, ids).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 2, 4]
+
+    def test_tfidf_rejects_single_doc(self, ray_session):
+        from ir_search_engine_ray.extras import aggregates
+
+        docs = _docs_ds(CORPUS[:1])
+        with pytest.raises(ValueError, match="n_docs >= 2"):
+            aggregates.tfidf_postings(docs)
+        with pytest.raises(ValueError, match="n_docs >= 2"):
+            aggregates.tfidf_postings(_docs_ds(CORPUS), n_docs=1)

@@ -977,6 +977,54 @@ class TestAppend:
         with pytest.raises(ValueError, match="sort after"):
             append_index(str(dup), out, concurrency=2)
 
+    def test_append_crash_recovery_checks_delta(
+        self, ray_session, split_corpus, tmp_path, monkeypatch
+    ):
+        """A crash between the convs.parquet commit (os.replace) and the
+        stage marker leaves the table extended; a retry with a DIFFERENT
+        delta must be refused loudly (the _STARTED record pins the delta —
+        ADVICE r3), while a retry with the SAME delta completes and matches
+        a clean append."""
+        from ir_search_engine_ray.pipelines import index_build
+
+        root, dirs = split_corpus
+        out = tmp_path / "idx"
+        index_build.build_index(str(dirs[0]), out, concurrency=2)
+
+        real = index_build.mark_stage_complete
+        calls = {"n": 0}
+
+        def boom(stage_dir, fp, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated crash after convs commit")
+            return real(stage_dir, fp, **kw)
+
+        monkeypatch.setattr(index_build, "mark_stage_complete", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            index_build.append_index(str(dirs[1]), out, concurrency=2)
+        monkeypatch.setattr(index_build, "mark_stage_complete", real)
+        # convs.parquet is extended but the stage has no marker for the
+        # append's fingerprint (the build's own marker may still be there)
+        from ir_search_engine_ray.state.manifest import stage_complete
+
+        started = json.loads(
+            (out / "stage_convs" / "_STARTED").read_text()
+        )["fingerprint"]
+        assert stage_complete(out / "stage_convs", started) is None
+
+        # a retry with a DIFFERENT delta must not silently reuse the table
+        with pytest.raises(ValueError, match="different delta"):
+            index_build.append_index(str(dirs[2]), out, concurrency=2)
+
+        # the ORIGINAL delta resumes cleanly and matches an uncrashed append
+        m = index_build.append_index(str(dirs[1]), out, concurrency=2)
+        clean = tmp_path / "clean"
+        index_build.build_index(str(dirs[0]), clean, concurrency=2)
+        mc = index_build.append_index(str(dirs[1]), clean, concurrency=2)
+        assert (m.N, m.n_terms, m.n_postings) == (mc.N, mc.n_terms, mc.n_postings)
+        assert self._bytes(out / "chunks") == self._bytes(clean / "chunks")
+
 
 class TestLemmaMode:
     """mode='full_lemma': the reference's lemma-index behavior
@@ -1269,3 +1317,38 @@ class TestAttrsResume:
             assert qa.query(qt, "w2", 10, filters={"role": "user"}) == qb.query(
                 qt, "w2", 10, filters={"role": "user"}
             )
+
+
+class TestResolverProgressGuard:
+    def test_pair_for_convs_bad_hints_still_resolve(
+        self, ray_session, built, tmp_path
+    ):
+        """pair_for_convs with a pathological (non-monotone) min-conv hint
+        array — the shape missing row-group statistics produce — must still
+        resolve every key (linear walk right instead of looping on the same
+        group forever; ADVICE r3) and still KeyError on a missing key."""
+        from ir_search_engine_ray.stages.convmap import ConvResolver
+
+        src = built.out_dir / "convs.parquet"
+        convs_tbl = pq.read_table(src)
+        small = tmp_path / "convs.parquet"
+        pq.write_table(convs_tbl, small, row_group_size=4)
+        res = ConvResolver(small, in_memory=False)
+        assert not res.in_memory and len(res._rg_conv_min) >= 3
+
+        want = ConvResolver(src, in_memory=True)
+        all_convs = convs_tbl["conv_id"].to_pylist()
+        a_want, b_want = want.pair_for_convs(all_convs)
+
+        # poison every hint after the first: the binary search now lands on
+        # row group 0 for every key, the step-back guard cannot help, and
+        # only the no-progress walk right reaches the true group
+        res._rg_conv_min = [res._rg_conv_min[0]] + ["\U0010ffff"] * (
+            len(res._rg_conv_min) - 1
+        )
+        a_got, b_got = res.pair_for_convs(all_convs)
+        assert a_got == a_want
+        assert (b_got == b_want).all()
+
+        with pytest.raises(KeyError):
+            res.pair_for_convs(["\U0010fffe_not_a_conv"])
