@@ -257,7 +257,9 @@ def sessionize(
     )
 
 
-def rolling_user_stats(events_ds: ray.data.Dataset) -> ray.data.Dataset:
+def rolling_user_stats(
+    events_ds: ray.data.Dataset, *, split_us: int | None = None
+) -> ray.data.Dataset:
     """Per-event running aggregates over each user's ordered history:
     (event_id, user_id, ts, cum_n, cum_value) with the cumulative event
     count and value sum under the deterministic (ts, event_id) order —
@@ -266,7 +268,18 @@ def rolling_user_stats(events_ds: ray.data.Dataset) -> ray.data.Dataset:
     Same partitioning contract as ``sessionize``: one user's events per
     task, vectorized cumsum inside.  The running sum is sequential
     (np.cumsum) to match the SQL window frame's left-to-right
-    accumulation; cum_value is rounded to 6 decimals on both sides."""
+    accumulation; cum_value is rounded to 6 decimals on both sides.
+
+    For a pathological mega-user whose events exceed one task, pass
+    ``split_us`` (mirroring ``sessionize``): per (user, time-range) tasks
+    compute LOCAL cumsums (bounded work) and emit one carry row per range;
+    the carries — one row per SEGMENT, orders of magnitude fewer than the
+    events — prefix-sum per user and join back onto the local rows by
+    (user, range).  Running count/sum compose across segments, so the
+    result equals the unsplit path (float addition regroups at range
+    boundaries; the 6-decimal rounding absorbs the ~1-ulp difference).
+    """
+    sel = events_ds.select_columns(["event_id", "user_id", "ts", "value"])
 
     def per_user(group: pa.Table) -> pa.Table:
         ts = group["ts"].cast(pa.int64()).to_numpy()
@@ -287,8 +300,119 @@ def rolling_user_stats(events_ds: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return (
-        events_ds.select_columns(["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+    if split_us is None:
+        return sel.groupby("user_id").map_groups(
+            per_user, batch_format="pyarrow"
+        )
+
+    ts_type = dict(zip(sel.schema().names, sel.schema().types))["ts"]
+
+    def add_range(b: pa.Table) -> pa.Table:
+        rng = b["ts"].cast(pa.int64()).to_numpy() // split_us
+        return b.append_column("rng", pa.array(rng, type=pa.int64()))
+
+    def local_cumsums(group: pa.Table) -> pa.Table:
+        """Per-event LOCAL running stats for one (user, range), plus ONE
+        carry row (event_id = -1) holding the range totals.  The carry's
+        cum_value is the last element of the SEQUENTIAL local cumsum, so
+        composed prefixes reproduce the unsplit accumulation order."""
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        csum = np.cumsum(val[order])
+        n = ts.size
+        uid = group["user_id"][0].as_py()
+        rng = group["rng"][0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    np.concatenate([eid[order], [-1]]), type=pa.int64()
+                ),
+                "user_id": pa.array(
+                    np.full(n + 1, uid), type=pa.int64()
+                ),
+                "ts": pa.concat_arrays(
+                    [
+                        group["ts"].take(pa.array(order)).combine_chunks(),
+                        pa.nulls(1, type=ts_type),
+                    ]
+                ),
+                "rng": pa.array(np.full(n + 1, rng), type=pa.int64()),
+                "loc_n": pa.array(
+                    np.concatenate(
+                        [np.arange(1, n + 1, dtype=np.int64), [n]]
+                    ),
+                    type=pa.int64(),
+                ),
+                "loc_value": pa.array(
+                    np.concatenate([csum, [csum[-1]]]), type=pa.float64()
+                ),
+            }
+        )
+
+    local = (
+        sel.map_batches(add_range, batch_format="pyarrow")
+        .groupby(["user_id", "rng"])
+        .map_groups(local_cumsums, batch_format="pyarrow")
+        .materialize()  # feeds two consumers (carries + per-event rows)
     )
+    import pyarrow.compute as pc
+
+    carries = local.map_batches(
+        lambda b: b.filter(pc.equal(b["event_id"], -1)).select(
+            ["user_id", "rng", "loc_n", "loc_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def user_offsets(group: pa.Table) -> pa.Table:
+        """Exclusive prefix over the user's range carries (rng-sorted):
+        the (count, sum) offset each range adds to its local cumsums."""
+        rng = group["rng"].to_numpy()
+        order = np.argsort(rng, kind="stable")
+        n = group["loc_n"].to_numpy()[order]
+        v = group["loc_value"].to_numpy(zero_copy_only=False)[order]
+        off_n = np.concatenate([[0], np.cumsum(n)[:-1]])
+        off_v = np.concatenate([[0.0], np.cumsum(v)[:-1]])
+        return pa.table(
+            {
+                "user_id": group["user_id"].take(pa.array(order)),
+                "rng": pa.array(rng[order], type=pa.int64()),
+                "off_n": pa.array(off_n, type=pa.int64()),
+                "off_value": pa.array(off_v, type=pa.float64()),
+            }
+        )
+
+    offsets = carries.groupby("user_id").map_groups(
+        user_offsets, batch_format="pyarrow"
+    )
+    per_event = local.map_batches(
+        lambda b: b.filter(pc.not_equal(b["event_id"], -1)),
+        batch_format="pyarrow",
+    )
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = per_event.join(
+        offsets, join_type="inner", on=("user_id", "rng"),
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "cum_n": pa.compute.add(b["off_n"], b["loc_n"]),
+                "cum_value": pa.array(
+                    np.round(
+                        b["off_value"].to_numpy(zero_copy_only=False)
+                        + b["loc_value"].to_numpy(zero_copy_only=False),
+                        6,
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -7,8 +7,10 @@ one streaming Ray Data chain:
 1. quality + language gate: one fused ``map_batches`` pass computes token
    count, alpha ratio, stopword ratio and the language guess, and filters in
    place (no separate filter stage, no second tokenize);
-2. exact dedup: ``groupby(text)`` keeps the minimum doc_id per distinct
-   text (the group key IS the text, so survivors need no join back);
+2. exact dedup: a partition-tagged groupby keyed on the 128-bit content
+   hash keeps the minimum doc_id per distinct text — the exchange
+   hashes/sorts 16 bytes per row, with the text riding as a value column
+   (survivors need no join back and the near-dup stage consumes the text);
 3. near-dup removal: MinHash-LSH candidates among survivors, verified
    exact Jaccard (extras/dedup.py), then every doc appearing as the HIGHER
    id of a verified pair is dropped — deterministic, order-free, and
@@ -35,7 +37,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from ..extras import dedup, textstats
 
@@ -76,14 +77,33 @@ def quality_lang_gate(
 def exact_survivors(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, text) with the minimum doc_id per distinct text.
 
-    Groups on the text itself because the survivors' TEXT must come out of
-    the shuffle anyway (the near-dup stage consumes it) — unlike
-    ``dedup.exact_dedup``, which groups on a 128-bit content hash and never
-    moves text bytes when only ids/counts are needed."""
-    g = docs_ds.groupby("text").aggregate(Min("doc_id"))
-    return g.map_batches(
-        lambda b: pa.table({"doc_id": b["min(doc_id)"], "text": b["text"]}),
-        batch_format="pyarrow",
+    The shuffle KEY is the 128-bit content hash (``dedup._text_hash_cols``)
+    — the exchange hashes/sorts 16 bytes per row instead of the full text —
+    while the text rides along as a VALUE column (the survivors' text must
+    come out of the shuffle anyway: the near-dup stage consumes it).  One
+    coarse partition-tagged groupby; inside a partition the min-doc_id per
+    (h1, h2) run is a vectorized lexsort + first-of-run mask, no per-group
+    Python."""
+    P = dedup.N_SHUFFLE_PARTS
+
+    def tag(b: pa.Table) -> pa.Table:
+        hb = dedup._text_hash_cols(b.select(["doc_id", "text"]))
+        part = (hb["h1"].to_numpy().view(np.uint64) % P).astype(np.int32)
+        return hb.append_column("part", pa.array(part))
+
+    def survivors(group: pa.Table) -> pa.Table:
+        h1 = group["h1"].to_numpy()
+        h2 = group["h2"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = (np.diff(h1[order]) != 0) | (np.diff(h2[order]) != 0)
+        return group.select(["doc_id", "text"]).take(pa.array(order[first]))
+
+    return (
+        docs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(survivors, batch_format="pyarrow")
     )
 
 

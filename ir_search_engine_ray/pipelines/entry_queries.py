@@ -706,12 +706,16 @@ def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_rolling_user_stats(sf_dir: str) -> ray.data.Dataset:
+    """Running per-user aggregates with the mega-user SPLIT path active
+    (24h time-range pre-split + per-user carry merge), so the driver
+    verifies the scale shape, not just the one-task-per-user fallback."""
     return windows.rolling_user_stats(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "value"],
             override_num_blocks=8,
-        )
+        ),
+        split_us=24 * windows.HOUR_US,
     )
 
 

@@ -1386,6 +1386,70 @@ class TestRollingStats:
         assert out["cum_n"].tolist() == [1, 2, 3, 1]
         assert out["cum_value"].tolist() == [2.0, 5.0, 6.5, 7.0]
 
+    def test_split_path_identical_to_default(self, ray_session):
+        """Range-split rolling stats (the mega-user scale path) must equal
+        the per-user path after the 6-decimal rounding, including events
+        straddling range boundaries — mirrors TestSessionizeSplit."""
+        import pandas as pd
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        rng = np.random.default_rng(31)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            t = 0
+            for _ in range(int(rng.integers(30, 80))):
+                t += int(rng.integers(1, 40)) * us
+                rows.append((eid, uid, t, round(float(rng.uniform(0, 50)), 2)))
+                eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        canon = lambda df: df.sort_values(
+            ["user_id", "cum_n"], ignore_index=True
+        )[["event_id", "user_id", "ts", "cum_n", "cum_value"]]
+        base = canon(windows.rolling_user_stats(ds).to_pandas())
+        # 100s ranges: every user's history spans many ranges
+        split = canon(
+            windows.rolling_user_stats(ds, split_us=100 * us).to_pandas()
+        )
+        pd.testing.assert_frame_equal(base, split)
+        assert base["cum_n"].max() > 1
+
+    def test_split_single_range_user(self, ray_session):
+        """A user entirely inside one range exercises the off=0 carry."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1], type=pa.int64()),
+                "user_id": pa.array([9, 9], type=pa.int64()),
+                "ts": pa.array([3 * us, 5 * us], type=pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0], type=pa.float64()),
+            }
+        )
+        out = (
+            windows.rolling_user_stats(
+                ray.data.from_arrow(t), split_us=3600 * us
+            )
+            .to_pandas()
+            .sort_values("cum_n", ignore_index=True)
+        )
+        assert out["cum_n"].tolist() == [1, 2]
+        assert out["cum_value"].tolist() == [1.0, 3.0]
+
 
 class TestStratifiedSample:
     def test_rates_and_determinism(self, ray_session):
