@@ -167,19 +167,99 @@ def cosine_topk_batch(
     )
 
 
-def train_centroids(
-    emb_ds: ray.data.Dataset, nlist: int, *, sample: int = 4096, iters: int = 8,
-    seed: int = 3, spherical: bool = False,
+def _sample_ranks(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-style seeded finalizer: a bijective uint64 hash of the id
+    — a deterministic uniform rank, independent of row/block order."""
+    with np.errstate(over="ignore"):
+        z = ids.astype(np.uint64) + np.uint64(
+            0x9E3779B97F4A7C15 * (seed + 1) & 0xFFFFFFFFFFFFFFFF
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def sample_embeddings(
+    emb_ds: ray.data.Dataset, sample: int, *, id_col: str = "vec_id",
+    seed: int = 3,
 ) -> np.ndarray:
-    """Driver-side mini k-means over a bounded sample (deterministic).
+    """Distributed deterministic sample of ``sample`` embedding rows: the
+    rows with the globally smallest seeded id-hash ranks.
+
+    Every batch keeps only its local smallest-``sample`` ranks (bounded
+    partials), and the driver folds partial blocks into a running
+    smallest-``sample`` buffer — peak driver memory is O(sample + one
+    block), never O(corpus), and the selected set is independent of
+    partitioning/row order (the rank is a pure function of the id).  This
+    replaces a ``limit(sample)`` head sample, which drew only from the
+    first block(s) and was unrepresentative of a sharded corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        r = _sample_ranks(ids, seed)
+        if r.size > sample:
+            keep = np.argpartition(r, sample - 1)[:sample]
+            ids, r = ids[keep], r[keep]
+            batch = batch.take(pa.array(keep))
+        return pa.table(
+            {
+                "rank": pa.array(r.view(np.int64)),
+                "sid": pa.array(ids),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    best_r: np.ndarray | None = None
+    best_i: np.ndarray | None = None
+    best_m: np.ndarray | None = None
+    for b in emb_ds.select_columns([id_col, "embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        r = b["rank"].to_numpy().view(np.uint64)
+        i = b["sid"].to_numpy().astype(np.int64)
+        m = _batch_matrix(b)
+        if best_r is not None:
+            r = np.concatenate([best_r, r])
+            i = np.concatenate([best_i, i])
+            m = np.concatenate([best_m, m], axis=0)
+        if r.size > sample:
+            keep = np.argpartition(r, sample - 1)[:sample]
+            r, i, m = r[keep], i[keep], m[keep]
+        best_r, best_i, best_m = r, i, m
+    if best_r is None:
+        return np.zeros((0, 0), dtype=np.float64)
+    # Order by id, not rank: deterministic, and when the corpus fits inside
+    # ``sample`` it reproduces the ordering a sequential head-read would see
+    # (so small-scale results are unchanged by the distributed selection).
+    return best_m[np.argsort(best_i, kind="stable")]
+
+
+def train_centroids(
+    emb_ds: ray.data.Dataset, nlist: int | None, *, sample: int = 4096,
+    iters: int = 8, seed: int = 3, spherical: bool = False,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-side mini k-means over a bounded DISTRIBUTED sample
+    (deterministic: the sample is the globally smallest seeded id-hash
+    ranks, independent of partitioning — see :func:`sample_embeddings`).
+
+    ``nlist=None`` scales the partition count with the corpus:
+    ~sqrt(n_rows), clamped to [8, 65536] — the standard IVF sizing, giving
+    ~sqrt(N) vectors per bucket so probe cost and bucket-scan cost balance.
+    The sample grows to cover at least 32 vectors per centroid.
 
     ``spherical=True`` trains on L2-normalized vectors and renormalizes
     centroids each iteration — the right bucketing when downstream
     assignment/similarity is cosine rather than euclidean."""
-    rows = emb_ds.limit(sample).take_all()
-    if not rows:
+    if nlist is None:
+        n_rows = emb_ds.count()
+        nlist = int(np.clip(np.sqrt(max(n_rows, 1)), 8, 65536))
+    sample = max(sample, 32 * nlist)
+    mat = sample_embeddings(emb_ds, sample, id_col=id_col, seed=seed)
+    if mat.size == 0:
         return np.zeros((0, 0), dtype=np.float64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     if spherical:
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
@@ -219,7 +299,7 @@ def ivf_topk(
 ) -> pa.Table:
     """IVF: probe only the nprobe nearest centroid partitions."""
     q = np.asarray(query_vec, dtype=np.float64)
-    cent = train_centroids(emb_ds, nlist)
+    cent = train_centroids(emb_ds, nlist, id_col=id_col)
     cent_ref = ray.put(cent)
     assigned = emb_ds.map_batches(
         assign_clusters,

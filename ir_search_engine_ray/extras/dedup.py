@@ -892,7 +892,7 @@ def embedding_cosine_pairs(
         raise ValueError(f"method must be 'ivf' or 'exact', got {method!r}")
     from . import ann
 
-    cent = ann.train_centroids(emb_ds, nlist, spherical=True)
+    cent = ann.train_centroids(emb_ds, nlist, spherical=True, id_col=id_col)
     if cent.shape[0] == 0:  # empty corpus: no centroids, no pairs
         return ray.data.from_arrow(
             pa.schema(

@@ -135,6 +135,44 @@ class TestANN:
         )
         assert len(exact & ivf) >= 5  # approximate, but not garbage
 
+    def test_sample_embeddings_spans_blocks_and_is_partition_invariant(
+        self, ray_session
+    ):
+        import ray.data
+
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb_ds(n=400)
+        ids = np.arange(400, dtype=np.int64)
+        ranks = ann._sample_ranks(ids, seed=3)
+        want_ids = np.sort(ids[np.argpartition(ranks, 63)[:64]])
+        got = ann.sample_embeddings(ds, 64, seed=3)
+        assert got.shape == (64, 16)
+        assert np.allclose(got, mat[want_ids])
+        # The seeded-rank sample must draw from beyond the head block(s):
+        # a limit(64) sample would have selected only ids < 100 (block 0 of 4).
+        assert want_ids.max() >= 100 and want_ids.min() < 100
+        # Partitioning-independent: same rows from a differently-sharded ds.
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        other = ray.data.from_arrow(t).repartition(13)
+        assert np.allclose(ann.sample_embeddings(other, 64, seed=3), got)
+
+    def test_train_centroids_auto_nlist(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        ds, mat = self._emb_ds(n=300)
+        cent = ann.train_centroids(ds, None, iters=2)
+        # nlist=None -> ~sqrt(300)=17, clamped to >=8
+        assert cent.shape == (17, 16)
+        assert np.isfinite(cent).all()
+
 
 class TestEmbeddingNearDup:
     def test_matches_numpy_brute_force(self, ray_session):
