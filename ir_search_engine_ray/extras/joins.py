@@ -167,9 +167,9 @@ def interval_join(
     Assumption (VALIDATED, not silent): one key's intervals do not overlap,
     so a left row has at most one match — true for session windows, deploy
     windows, validity ranges.  Overlapping intervals raise ``ValueError``
-    (a multi-match range join is a different operator with multiplying
-    output; composing it from sorted sweeps is future work).  Unmatched
-    left rows keep nulls (left-join semantics).
+    pointing at :func:`interval_join_multi`, the multi-match form with
+    multiplying output.  Unmatched left rows keep nulls (left-join
+    semantics).
     """
     lschema = left_ds.schema()
     rschema = intervals_ds.schema()
@@ -201,7 +201,8 @@ def interval_join(
             key = rrows[by][0].as_py()
             raise ValueError(
                 f"interval_join: overlapping intervals for key {key!r} — "
-                "this operator requires non-overlapping intervals per key"
+                "this operator requires non-overlapping intervals per key "
+                "(use interval_join_multi for the multi-match form)"
             )
         lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(starts, lon, side="right") - 1
@@ -212,6 +213,118 @@ def interval_join(
             if not have.all():
                 vals = pa.compute.if_else(
                     pa.array(~have), pa.nulls(lcount, type=types[c]), vals
+                )
+            cols[f"matched_{c}"] = vals
+        return pa.table(cols)
+
+    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")
+
+
+def interval_join_multi(
+    left_ds: ray.data.Dataset,
+    intervals_ds: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    start: str,
+    end: str,
+    left_cols: list[str],
+    interval_cols: list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Multi-match range join: one output row per (left row, containing
+    interval) with ``start <= on <= end`` and equal ``by`` key — intervals
+    MAY overlap (events -> concurrent campaign windows, metrics ->
+    overlapping experiment cohorts).  The single-match, non-overlapping
+    form is :func:`interval_join`.
+
+    Same one-shuffle shape (tag, ``union``, ``groupby(by).map_groups``).
+    Inside a group the LEFT rows sort by ``on`` once; each interval's
+    matches are then a CONTIGUOUS run of that sorted array, so the pair
+    list is built with two vectorized ``searchsorted`` probes (run bounds
+    per interval) and one ``np.repeat`` index expansion — O((n_left +
+    n_intervals) log n_left + output) work per group, never the
+    O(n_left x n_intervals) cross product, and no per-row Python.  The
+    output is inherently multiplying (that is the semantics); compute is
+    proportional to what is emitted.
+
+    ``how="left"`` additionally emits each unmatched left row once with
+    null ``matched_*`` columns; ``how="inner"`` (default) drops them.
+
+    Partitioning assumption (same as :func:`asof_join`, documented): one
+    key's rows fit one task.  For a pathological mega-key, pre-split the
+    timeline into ranges, replicating any interval into every range it
+    overlaps, and dedup on (left id, interval id) — an explicit caller
+    choice, not auto-enabled.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lschema = left_ds.schema()
+    rschema = intervals_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(dict.fromkeys([by, on, *left_cols]))
+    rcols = list(dict.fromkeys([by, start, end, *interval_cols]))
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
+    u = _project(left_ds, lcols, 0, all_cols, types).union(
+        _project(intervals_ds, rcols, 1, all_cols, types)
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        lrows = group.filter(pa.array(is_left))
+        rrows = group.filter(pa.array(~is_left))
+        lcount = lrows.num_rows
+
+        def no_match() -> pa.Table:
+            if how == "left":
+                cols = {c: lrows[c] for c in lcols}
+                n = lcount
+            else:
+                cols = {c: pa.array([], type=types[c]) for c in lcols}
+                n = 0
+            for c in interval_cols:
+                cols[f"matched_{c}"] = pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        if lcount == 0 or rrows.num_rows == 0:
+            return no_match()
+        lrows = lrows.sort_by([(on, "ascending")])
+        lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = rrows[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(lon, starts, side="left")
+        hi = np.searchsorted(lon, ends, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return no_match()
+        iidx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        run_start = np.cumsum(counts) - counts
+        lidx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(run_start, counts)
+            + np.repeat(lo, counts)
+        )
+        if how == "left":
+            matched = np.bincount(lidx, minlength=lcount) > 0
+            miss = np.flatnonzero(~matched)
+            lidx = np.concatenate([lidx, miss])
+        l_take = pa.array(lidx)
+        cols: dict = {c: lrows[c].take(l_take) for c in lcols}
+        i_take = pa.array(iidx)
+        for c in interval_cols:
+            vals = rrows[c].take(i_take)
+            if lidx.size > iidx.size:
+                vals = pa.chunked_array(
+                    [
+                        vals.combine_chunks() if isinstance(
+                            vals, pa.ChunkedArray
+                        ) else vals,
+                        pa.nulls(lidx.size - iidx.size, type=types[c]),
+                    ]
                 )
             cols[f"matched_{c}"] = vals
         return pa.table(cols)

@@ -705,6 +705,64 @@ def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+N_CAMPAIGNS = 3
+CAMPAIGN_STEP_US = 24 * windows.HOUR_US  # windows open 1 day apart...
+CAMPAIGN_WIDTH_US = 48 * windows.HOUR_US  # ...and span 2 days: they OVERLAP
+
+
+def q_event_campaign_join(sf_dir: str) -> ray.data.Dataset:
+    """Overlapping-interval (multi-match) join: each event -> ALL of the
+    user's campaign windows containing it.  Per user, N_CAMPAIGNS windows
+    open at min(ts) + i*1d and span 2d — width > step, so adjacent windows
+    overlap and one event can match two of them, exercising
+    ``interval_join_multi``'s multiplying semantics (the single-match
+    ``interval_join`` raises on this fixture).  Oracle: DuckDB
+    ``JOIN ... ON ts BETWEEN wstart AND wend``."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        override_num_blocks=8,
+    )
+    mins = ev.groupby("user_id").min("ts")
+
+    def expand(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        m = b["min(ts)"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        i = np.tile(np.arange(N_CAMPAIGNS, dtype=np.int64), len(m))
+        ws = np.repeat(m, N_CAMPAIGNS) + i * CAMPAIGN_STEP_US
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, N_CAMPAIGNS)),
+                "campaign_id": pa.array(i),
+                "wstart": pa.array(ws).cast(pa.timestamp("us")),
+                "wend": pa.array(ws + CAMPAIGN_WIDTH_US).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    camp = mins.map_batches(expand, batch_format="pyarrow")
+    out = joins.interval_join_multi(
+        ev,
+        camp,
+        by="user_id",
+        on="ts",
+        start="wstart",
+        end="wend",
+        left_cols=["event_id"],
+        interval_cols=["campaign_id"],
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["campaign_id" if c == "matched_campaign_id" else c
+             for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_rolling_user_stats(sf_dir: str) -> ray.data.Dataset:
     """Running per-user aggregates with the mega-user SPLIT path active
     (24h time-range pre-split + per-user carry merge), so the driver
@@ -1501,6 +1559,19 @@ SELECT event_id, user_id, ts,
          AS session_idx
 FROM o
 """,
+        "event_campaign_join": f"""
+WITH b AS (SELECT user_id, min(ts) AS m FROM events GROUP BY 1),
+camp AS (
+  SELECT user_id, i::BIGINT AS campaign_id,
+         m + to_microseconds(i * {CAMPAIGN_STEP_US}) AS wstart,
+         m + to_microseconds(i * {CAMPAIGN_STEP_US}
+                             + {CAMPAIGN_WIDTH_US}) AS wend
+  FROM b, unnest(range(0, {N_CAMPAIGNS})) AS t(i)
+)
+SELECT e.event_id, e.user_id, e.ts, c.campaign_id
+FROM events e JOIN camp c
+  ON e.user_id = c.user_id AND e.ts BETWEEN c.wstart AND c.wend
+""",
         "rolling_user_stats": """
 SELECT event_id, user_id, ts,
        (row_number() OVER w)::BIGINT AS cum_n,
@@ -1727,6 +1798,7 @@ def build_queries() -> dict:
         "top_terms_lang": q_top_terms_lang,
         "pack_sequences": q_pack_sequences,
         "event_session_join": q_event_session_join,
+        "event_campaign_join": q_event_campaign_join,
         "rolling_user_stats": q_rolling_user_stats,
         "stratified_sample": q_stratified_sample,
         "json_flatten": q_json_flatten,

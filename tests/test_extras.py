@@ -1396,6 +1396,120 @@ class TestIntervalJoin:
             )
 
 
+class TestIntervalJoinMulti:
+    def _run(self, left, right, **kw):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        return joins.interval_join_multi(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            **kw,
+        ).to_pandas()
+
+    def _fixture(self, seed=7, n_left=80, n_iv=12, n_keys=3):
+        rng = np.random.default_rng(seed)
+        left = pa.table(
+            {
+                "k": pa.array(
+                    rng.integers(0, n_keys, n_left), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    rng.integers(0, 100, n_left), type=pa.int64()
+                ),
+                "lid": pa.array(np.arange(n_left), type=pa.int64()),
+            }
+        )
+        lo = rng.integers(0, 90, n_iv)
+        right = pa.table(
+            {
+                "k": pa.array(rng.integers(0, n_keys, n_iv), type=pa.int64()),
+                "lo": pa.array(lo, type=pa.int64()),
+                "hi": pa.array(lo + rng.integers(5, 40, n_iv),
+                               type=pa.int64()),
+                "iv": pa.array(np.arange(n_iv), type=pa.int64()),
+            }
+        )
+        return left, right
+
+    @staticmethod
+    def _brute_pairs(left, right):
+        lp, rp = left.to_pandas(), right.to_pandas()
+        pairs = set()
+        for _, lr in lp.iterrows():
+            for _, rr in rp.iterrows():
+                if lr.k == rr.k and rr.lo <= lr.ts <= rr.hi:
+                    pairs.add((lr.lid, rr.iv))
+        return pairs
+
+    def test_inner_matches_brute_force(self, ray_session):
+        left, right = self._fixture()
+        out = self._run(
+            left, right, by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"],
+        )
+        got = set(zip(out["lid"], out["matched_iv"]))
+        want = self._brute_pairs(left, right)
+        assert got == want and len(out) == len(want)  # no dup rows
+        # overlap actually exercised: some left row matched >1 interval
+        assert out["lid"].duplicated().any()
+
+    def test_left_emits_unmatched_once_with_nulls(self, ray_session):
+        left, right = self._fixture(seed=11)
+        out = self._run(
+            left, right, by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"], how="left",
+        )
+        want = self._brute_pairs(left, right)
+        matched_lids = {lid for lid, _ in want}
+        got_matched = set(
+            zip(out.loc[out["matched_iv"].notna(), "lid"],
+                out.loc[out["matched_iv"].notna(), "matched_iv"])
+        )
+        assert got_matched == want
+        unmatched = out.loc[out["matched_iv"].isna(), "lid"]
+        assert set(unmatched) == set(range(left.num_rows)) - matched_lids
+        assert not unmatched.duplicated().any()
+        assert len(out) == len(want) + len(unmatched)
+
+    def test_boundaries_inclusive_both_ends(self, ray_session):
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 1], type=pa.int64()),
+                "ts": pa.array([0, 10, 11], type=pa.int64()),
+                "lid": pa.array([0, 1, 2], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "lo": pa.array([0, 10], type=pa.int64()),
+                "hi": pa.array([10, 20], type=pa.int64()),
+                "iv": pa.array([100, 200], type=pa.int64()),
+            }
+        )
+        out = self._run(
+            left, right, by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"],
+        )
+        got = sorted(zip(out["lid"], out["matched_iv"]))
+        assert got == [(0, 100), (1, 100), (1, 200), (2, 200)]
+
+    def test_bad_how_raises(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left, right = self._fixture()
+        with pytest.raises(ValueError, match="how"):
+            joins.interval_join_multi(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                by="k", on="ts", start="lo", end="hi",
+                left_cols=["lid"], interval_cols=["iv"], how="outer",
+            )
+
+
 class TestRollingStats:
     def test_cumulative_matches_pandas(self, ray_session):
         import ray.data

@@ -85,6 +85,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "top_terms_lang",
         "pack_sequences",
         "event_session_join",
+        "event_campaign_join",
         "rolling_user_stats",
         "stratified_sample",
         "json_flatten",
