@@ -777,18 +777,34 @@ class QueryEngine:
             pipe = _PIPE_CACHE.get(mode)
             if pipe is None:
                 pipe = _PIPE_CACHE[mode] = TokenPipeline(mode)
-            out = []
-            for doc_id, tx in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                toks = pipe(tx)
-                n = len(phrase)
-                if any(
-                    tuple(toks[i : i + n]) == phrase
-                    for i in range(len(toks) - n + 1)
-                ):
-                    out.append(doc_id)
-            return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            tok_lists = [pipe(tx) for tx in batch["text"].to_pylist()]
+            # Vectorized contiguous-run check over the whole batch at once:
+            # flatten all token lists into one unicode array, window-compare
+            # against the phrase, and mask windows that cross doc boundaries.
+            n = len(phrase)
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64,
+                count=len(tok_lists),
+            )
+            flat: list[str] = []
+            for t in tok_lists:
+                flat.extend(t)
+            size = len(flat)
+            if size < n:
+                return pa.table({"doc_id": pa.array([], type=pa.int64())})
+            arr = np.array(flat, dtype=np.str_)
+            nwin = size - n + 1
+            m = arr[:nwin] == phrase[0]
+            for j in range(1, n):
+                m &= arr[j : nwin + j] == phrase[j]
+            doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            if n > 1:  # window must start and end inside the same doc
+                m &= doc_of[:nwin] == doc_of[n - 1 :]
+            hit = np.unique(doc_of[:nwin][m])
+            return pa.table(
+                {"doc_id": pa.array(doc_ids[hit], type=pa.int64())}
+            )
 
         ds = ray.data.read_parquet(
             self._source_paths(need_convs),
