@@ -164,6 +164,40 @@ def bench_queries(meta, sf_dir: str, rounds: int = 5) -> dict:
     }
 
 
+def bench_phrase(meta, sf_dir: str, rounds: int = 3) -> dict:
+    """Phrase verify A/B: candidate re-tokenize vs the positional sidecar.
+    Reported as info fields, NOT in the headline total (the sidecar is
+    opt-in and its build is a one-off)."""
+    from ir_search_engine_ray.config import QueryConfig
+    from ir_search_engine_ray.pipelines.entry_queries import _pick_phrases
+    from ir_search_engine_ray.pipelines.positions import build_positions
+    from ir_search_engine_ray.pipelines.query import QueryEngine
+
+    phrases = _pick_phrases(sf_dir)
+    out: dict[str, float] = {}
+
+    def timed(eng) -> float:
+        for p in phrases:
+            eng.phrase_query(p)  # warm
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            for p in phrases:
+                eng.phrase_query(p)
+        return time.perf_counter() - t0
+
+    out["phrase_retokenize"] = timed(
+        QueryEngine(meta, QueryConfig(scheme="w2", use_positions=False))
+    )
+    t0 = time.perf_counter()
+    build_positions(meta.out_dir)
+    out["positions_build"] = time.perf_counter() - t0
+    out["phrase_positions"] = timed(
+        QueryEngine(meta, QueryConfig(scheme="w2", use_positions=True))
+    )
+    out["n_phrase_queries"] = rounds * len(phrases)
+    return out
+
+
 def bench_extras(sf_dir: str) -> dict:
     """Training-data extras over the driver's documents/embeddings tables."""
     import numpy as np
@@ -215,6 +249,7 @@ def run_main() -> None:
         key=lambda b: b["seconds"],
     )
     queries = bench_queries(build["meta"], SF_DIR)
+    phrase = bench_phrase(build["meta"], SF_DIR)
     extras_runs = [bench_extras(SF_DIR) for _ in range(reps)]
     extras = {k: min(r[k] for r in extras_runs) for k in extras_runs[0]}
     del t_all
@@ -241,6 +276,10 @@ def run_main() -> None:
         "query_p95_ms": round(queries["p95_ms"], 2),
         "query_qps": round(queries["qps"], 1),
         "query_qps_batch": round(queries["batch_qps"], 1),
+        "phrase_retokenize_s": round(phrase["phrase_retokenize"], 3),
+        "phrase_positions_s": round(phrase["phrase_positions"], 3),
+        "positions_build_s": round(phrase["positions_build"], 3),
+        "n_phrase_queries": phrase["n_phrase_queries"],
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -48,18 +48,20 @@ def _cmd_build(args) -> None:
         ),
         append=args.append,
     )
-    print(
-        json.dumps(
-            {
-                "out_dir": str(meta.out_dir),
-                "N": meta.N,
-                "n_terms": meta.n_terms,
-                "n_postings": meta.n_postings,
-                "avg_doc_len": meta.avg_doc_len,
-                "salt_buckets": meta.salt_buckets,
-            }
-        )
-    )
+    payload = {
+        "out_dir": str(meta.out_dir),
+        "N": meta.N,
+        "n_terms": meta.n_terms,
+        "n_postings": meta.n_postings,
+        "avg_doc_len": meta.avg_doc_len,
+        "salt_buckets": meta.salt_buckets,
+    }
+    if getattr(args, "positions", False):
+        from .pipelines.positions import build_positions
+
+        pm = build_positions(meta.out_dir)
+        payload["positions_rows"] = pm["n_rows"]
+    print(json.dumps(payload))
 
 
 def _engine(args):
@@ -392,6 +394,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--attrs", default=None,
                    help="comma-separated input columns to index as "
                         "filterable doc attributes (e.g. role,tool)")
+    b.add_argument("--positions", action="store_true",
+                   help="also build/refresh the positional sidecar (phrase "
+                        "verify in O(postings), no corpus re-read; opt-in — "
+                        "the sidecar is token-stream-sized)")
     b.set_defaults(fn=_cmd_build)
 
     def query_args(q):

@@ -76,3 +76,8 @@ class QueryConfig:
     # row-group streaming), True/False = force.  The streamed mode keeps the
     # engine free of any conversation-count-sized structure.
     offsets_in_memory: bool | None = None
+    # phrase verify strategy: None = auto (use the positional sidecar when
+    # one exists and matches the index fingerprint, else re-tokenize the
+    # candidate docs); True = require the sidecar (raise if absent/stale);
+    # False = always re-tokenize.  See pipelines/positions.py.
+    use_positions: bool | None = None

@@ -291,11 +291,7 @@ def _pick_phrases(sf_dir: str) -> list[str]:
     return phrases
 
 
-def q_phrase_simple(sf_dir: str) -> pa.Table:
-    """Phrase search (contiguous normalized-term run), simple mode: per
-    phrase, top-10 by the same w2 cosine over the phrase's bag of words."""
-    meta = cached_index(sf_dir, "simple")
-    eng = QueryEngine(meta, QueryConfig(scheme="w2", top_k=10))
+def _phrase_table(sf_dir: str, eng: QueryEngine) -> pa.Table:
     pids, docs, scores = [], [], []
     for pid, phrase in enumerate(_pick_phrases(sf_dir)):
         for r in eng.phrase_query(phrase, "w2", 10):
@@ -309,6 +305,35 @@ def q_phrase_simple(sf_dir: str) -> pa.Table:
             "score": pa.array(scores, type=pa.float64()),
         }
     )
+
+
+def q_phrase_simple(sf_dir: str) -> pa.Table:
+    """Phrase search (contiguous normalized-term run), simple mode: per
+    phrase, top-10 by the same w2 cosine over the phrase's bag of words.
+    ``use_positions=False`` pins the candidate-doc RE-TOKENIZE verify so
+    this query keeps exercising that path even when ``phrase_positions``
+    has built the sidecar on the shared cached index."""
+    meta = cached_index(sf_dir, "simple")
+    eng = QueryEngine(
+        meta, QueryConfig(scheme="w2", top_k=10, use_positions=False)
+    )
+    return _phrase_table(sf_dir, eng)
+
+
+def q_phrase_positions(sf_dir: str) -> pa.Table:
+    """Same phrases, same oracle — but verified through the POSITIONAL
+    SIDECAR (pipelines/positions.py, use_positions=True): phrase verify is
+    a pruned read of the phrase terms' position lists + one vectorized
+    adjacency chain, no corpus re-read.  Result identity with
+    ``phrase_simple`` is exactly what the shared oracle asserts."""
+    from .positions import build_positions
+
+    meta = cached_index(sf_dir, "simple")
+    build_positions(meta.out_dir)
+    eng = QueryEngine(
+        meta, QueryConfig(scheme="w2", top_k=10, use_positions=True)
+    )
+    return _phrase_table(sf_dir, eng)
 
 
 def _boolean_spec(sf_dir: str) -> tuple[list[str], list[str]]:
@@ -1293,12 +1318,15 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
         "topk_w1_simple": _sql_topk(fx, "w1"),
         "topk_w2_snippet": _sql_topk(fx, "w2", snippet=True),
         "boolean_simple": _sql_boolean_simple(fx, *_boolean_spec(sf_dir)),
-        "phrase_simple": "\nUNION ALL\n".join(
+        "phrase_simple": (phrase_sql := "\nUNION ALL\n".join(
             f"SELECT {pid}::BIGINT AS phrase_id, doc_id, score FROM ("
             + _sql_phrase_simple(fx, phrase)
             + ")"
             for pid, phrase in enumerate(_pick_phrases(sf_dir))
-        ),
+        )),
+        # identical SQL: the sidecar changes the verify mechanism, not the
+        # semantics — the oracle asserts exactly that
+        "phrase_positions": phrase_sql,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
@@ -1764,6 +1792,7 @@ def build_queries() -> dict:
         "topk_w1_simple": q_topk_w1_simple,
         "topk_w2_snippet": q_topk_w2_snippet,
         "phrase_simple": q_phrase_simple,
+        "phrase_positions": q_phrase_positions,
         "boolean_simple": q_boolean_simple,
         "topk_w2_full": q_topk_w2_full,
         "topk_w1_full": q_topk_w1_full,

@@ -637,7 +637,14 @@ class QueryEngine:
                 f"{max_candidates}; refine the phrase"
             )
         if len(terms) > 1:
-            cand = self._verify_phrase(cand, terms)
+            if self._use_positions():
+                from .positions import verify_phrase_positions
+
+                cand = verify_phrase_positions(
+                    self.meta.out_dir, self.meta.range_size, cand, terms
+                )
+            else:
+                cand = self._verify_phrase(cand, terms)
             if cand.size == 0:
                 return []
         # exact cosine scores for the verified docs (same math as query())
@@ -747,6 +754,28 @@ class QueryEngine:
                 pass  # unreadable stats: keep the file (correctness first)
             kept.append(p)
         return kept
+
+    def _use_positions(self) -> bool:
+        """Resolve QueryConfig.use_positions against the on-disk sidecar.
+        None = auto-use when present AND fingerprint-fresh; True requires
+        it; False ignores it.  The availability probe is memoized (it reads
+        stats.json + the marker once)."""
+        want = self.config.use_positions
+        if want is False:
+            return False
+        got = getattr(self, "_positions_ok", None)
+        if got is None:
+            from .positions import positions_available
+
+            got = self._positions_ok = positions_available(self.meta.out_dir)
+        if want is True and not got:
+            raise FileNotFoundError(
+                f"use_positions=True but no fresh positional sidecar under "
+                f"{self.meta.out_dir}/positions — run "
+                "pipelines.positions.build_positions(out_dir) "
+                "(or rebuild with --positions)"
+            )
+        return got
 
     def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
         """Distributed contiguous-run check over ONLY the candidate docs."""

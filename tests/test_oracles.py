@@ -63,6 +63,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
     [
         "token_count_bpe",
         "phrase_simple",
+        "phrase_positions",
         "boolean_simple",
         "bigram_counts",
         "dataset_split",

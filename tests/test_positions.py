@@ -1,0 +1,210 @@
+"""Positional sidecar (pipelines/positions.py): phrase verify without the
+corpus re-read.
+
+Contract under test: phrase results are IDENTICAL with and without the
+sidecar; the sidecar is resumable (per-file lineage skip), refreshes in
+O(delta) after an append, and is never used stale (fingerprint gate)."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+POS_OUT = Path("/tmp/graft_test_positions_idx")
+
+
+def _phrases_from(corpus_dir: Path, mode: str, n: int = 3) -> list[str]:
+    """n multi-term phrases mined from the corpus token stream (so they
+    actually hit), plus a repeated-term phrase and a no-match phrase."""
+    from ir_search_engine_ray.textproc import TokenPipeline
+
+    pipe = TokenPipeline(mode)
+    t = pq.read_table(corpus_dir, columns=["text"])
+    got = []
+    for text in t["text"].to_pylist():
+        toks = pipe(text)
+        if len(toks) >= 6:
+            got.append(" ".join(toks[2:5]))
+            if len(got) >= n:
+                break
+    dup = toks[2]
+    return got + [f"{dup} {dup}", "zzznomatch qqqnomatch"]
+
+
+class TestPositions:
+    @pytest.fixture(scope="class")
+    def pos_built(self, ray_session, corpus):
+        from ir_search_engine_ray.pipelines import positions
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        shutil.rmtree(POS_OUT, ignore_errors=True)
+        meta = build_index(str(corpus / "transcripts"), POS_OUT, concurrency=2)
+        # tiny row groups so the term-stat row-group pruning actually prunes
+        marker = positions.build_positions(POS_OUT, row_group_size=64)
+        return meta, marker
+
+    def test_marker_and_files(self, pos_built):
+        meta, marker = pos_built
+        n_salts = -(-meta.N // meta.range_size)
+        assert marker["n_salts"] == n_salts
+        files = sorted((POS_OUT / "positions").glob("pos-*.parquet"))
+        assert len(files) == n_salts
+        # files are (term, doc_id)-sorted with live statistics
+        t = pq.read_table(files[0])
+        pairs = list(zip(t["term"].to_pylist(), t["doc_id"].to_pylist()))
+        assert pairs == sorted(pairs)
+
+    def test_phrase_identity_with_and_without(self, pos_built, corpus):
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        meta, _ = pos_built
+        e_no = QueryEngine(
+            meta, QueryConfig(num_actors=2, use_positions=False)
+        )
+        e_pos = QueryEngine(
+            meta, QueryConfig(num_actors=2, use_positions=True)
+        )
+        for p in _phrases_from(corpus / "transcripts", meta.mode):
+            assert e_pos.phrase_query(p) == e_no.phrase_query(p), p
+
+    def test_positions_are_token_stream_offsets(self, pos_built, corpus):
+        """Spot-check: a (term, doc) row's positions are exactly the term's
+        indices in the doc's pipeline token stream."""
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        meta, _ = pos_built
+        pipe = TokenPipeline(meta.mode)
+        t = pq.read_table(corpus / "transcripts").sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        text0 = t["text"][0].as_py()
+        toks = pipe(text0)
+        assert toks
+        term = toks[0]
+        want = [i for i, tk in enumerate(toks) if tk == term]
+        pos_t = pq.read_table(POS_OUT / "positions")
+        row = pos_t.filter(
+            pc.and_(
+                pc.equal(pos_t["term"], term), pc.equal(pos_t["doc_id"], 0)
+            )
+        )
+        assert row.num_rows == 1
+        assert row["positions"][0].as_py() == want
+
+    def test_rebuild_skips_all_files(self, pos_built):
+        from ir_search_engine_ray.pipelines import positions
+
+        meta, marker = pos_built
+        # marker intact: returns the cached payload, no work
+        again = positions.build_positions(POS_OUT, row_group_size=64)
+        assert again == marker
+        # marker gone but files fresh: every salt skips via lineage hash
+        (POS_OUT / "positions" / "_SUCCESS").unlink()
+        redo = positions.build_positions(POS_OUT, row_group_size=64)
+        assert redo["n_skipped"] == redo["n_salts"]
+
+    def test_use_positions_true_requires_sidecar(
+        self, ray_session, built, corpus
+    ):
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(built, QueryConfig(num_actors=2, use_positions=True))
+        phrase = _phrases_from(corpus / "transcripts", built.mode, n=1)[0]
+        assert eng.query(phrase)  # the terms do have candidates
+        with pytest.raises(FileNotFoundError, match="positional sidecar"):
+            eng.phrase_query(phrase)
+
+    def test_append_staleness_and_delta_refresh(
+        self, ray_session, corpus, tmp_path
+    ):
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines import positions
+        from ir_search_engine_ray.pipelines.index_build import (
+            append_index,
+            build_index,
+        )
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        t = pq.read_table(corpus / "transcripts")
+        convs = sorted(set(t["conv_id"].to_pylist()))
+        cut = len(convs) - 3
+        d0, d1 = tmp_path / "base", tmp_path / "delta"
+        for d, chunk in ((d0, convs[:cut]), (d1, convs[cut:])):
+            d.mkdir()
+            pq.write_table(
+                t.filter(pc.is_in(t["conv_id"], value_set=pa.array(chunk))),
+                d / "part-00000.parquet",
+            )
+        out = tmp_path / "idx"
+        build_index(str(d0), out, concurrency=2)
+        m0 = positions.build_positions(out, row_group_size=64)
+        assert positions.positions_available(out)
+        meta = append_index(str(d1), out, concurrency=2)
+        # appended index invalidates the sidecar (never silently stale)
+        assert not positions.positions_available(out)
+        e_auto = QueryEngine(meta, QueryConfig(num_actors=2))
+        e_no = QueryEngine(
+            meta, QueryConfig(num_actors=2, use_positions=False)
+        )
+        phrases = _phrases_from(d1, meta.mode, n=2)
+        # auto mode falls back to re-tokenize while stale
+        for p in phrases:
+            assert e_auto.phrase_query(p) == e_no.phrase_query(p), p
+        m1 = positions.build_positions(out, row_group_size=64)
+        assert positions.positions_available(out)
+        # O(delta): every full old salt whose (range, lineage) is unchanged
+        # was skipped, and the sidecar grew to the new salt count
+        assert m1["n_salts"] >= m0["n_salts"]
+        old_full_salts = meta.N // meta.range_size and (
+            m0["n_salts"] - 1
+        )  # the old tail salt's doc_hi moved, so at most it rebuilds
+        assert m1["n_skipped"] >= old_full_salts
+        e_pos = QueryEngine(
+            meta, QueryConfig(num_actors=2, use_positions=True)
+        )
+        for p in phrases + _phrases_from(d0, meta.mode, n=2):
+            assert e_pos.phrase_query(p) == e_no.phrase_query(p), p
+
+
+class TestPositionsBatchTable:
+    def test_matches_manual_grouping(self, ray_session):
+        from ir_search_engine_ray.pipelines.positions import (
+            positions_batch_table,
+        )
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        pipe = TokenPipeline("simple")
+        # note: positions index the FILTERED token stream (stopwords like
+        # "a" are gone before positions are assigned) — same stream the
+        # phrase matcher walks
+        texts = ["blade a rotor a blade wing", "wing wing wing", "", "rotor"]
+        doc_ids = np.array([10, 11, 12, 13], dtype=np.int64)
+        out = positions_batch_table(doc_ids, texts, pipe)
+        got = {
+            (t, d): p
+            for t, d, p in zip(
+                out["term"].to_pylist(),
+                out["doc_id"].to_pylist(),
+                out["positions"].to_pylist(),
+            )
+        }
+        want = {
+            ("blade", 10): [0, 2],
+            ("rotor", 10): [1],
+            ("wing", 10): [3],
+            ("wing", 11): [0, 1, 2],
+            ("rotor", 13): [0],
+        }
+        assert got == want
+        # table-level (term, doc_id) order
+        keys = list(
+            zip(out["term"].to_pylist(), out["doc_id"].to_pylist())
+        )
+        assert keys == sorted(keys)
