@@ -178,6 +178,7 @@ def _build_salt(
     source_paths: list[str],
     mode: str,
     row_group_size: int,
+    offsets_in_memory: bool | None = None,
 ) -> dict:
     """One salt's positions file: conv-pruned source read -> tokenize with
     positions -> salt-wide (term, doc_id) sort -> atomic parquet write.
@@ -188,7 +189,7 @@ def _build_salt(
 
     salt, lo, hi = item["salt"], item["doc_lo"], item["doc_hi"]
     path = Path(pos_dir) / _pos_name(salt, lo, hi)
-    res = ConvResolver(convs_path)
+    res = ConvResolver(convs_path, in_memory=offsets_in_memory)
     need = res.convs_for(np.arange(lo, hi + 1, dtype=np.int64))
     pair = res.pair_for_convs(need)
     files = prune_paths_by_conv(source_paths, need[0], need[-1])
@@ -243,12 +244,18 @@ def _build_salt(
 
 
 def build_positions(
-    out_dir: str | Path, *, row_group_size: int = POS_ROW_GROUP
+    out_dir: str | Path,
+    *,
+    row_group_size: int = POS_ROW_GROUP,
+    offsets_in_memory: bool | None = None,
 ) -> dict:
     """Build (or incrementally refresh) the positional sidecar for a built
     index.  Idempotent and resumable: per-salt files validate their own
     lineage, the _SUCCESS marker validates the whole index fingerprint.
-    Returns the marker payload."""
+    ``offsets_in_memory`` forwards to each task's ConvResolver (None=auto;
+    False forces the footer-pruned streamed mode — the 100-TB path where no
+    task holds a conversation-count-sized table).  Returns the marker
+    payload."""
     from .index_build import IndexMeta
 
     meta = IndexMeta.load(out_dir)
@@ -277,6 +284,7 @@ def build_positions(
         "source_paths": source_paths,
         "mode": meta.mode,
         "row_group_size": row_group_size,
+        "offsets_in_memory": offsets_in_memory,
     }
     if len(items) == 1:  # single salt: no point spinning up a Ray stage
         rows = [_build_salt(items[0], **kwargs)]

@@ -109,6 +109,27 @@ class TestPositions:
         redo = positions.build_positions(POS_OUT, row_group_size=64)
         assert redo["n_skipped"] == redo["n_salts"]
 
+    def test_streamed_resolver_builds_identical_sidecar(
+        self, pos_built, tmp_path
+    ):
+        """offsets_in_memory=False (the 100-TB footer-pruned ConvResolver
+        mode) must produce byte-for-byte the same per-salt files."""
+        import shutil as sh
+
+        from ir_search_engine_ray.pipelines import positions
+
+        clone = tmp_path / "idx_streamed"
+        sh.copytree(POS_OUT, clone, ignore=sh.ignore_patterns("positions"))
+        m = positions.build_positions(
+            clone, row_group_size=64, offsets_in_memory=False
+        )
+        assert m["n_skipped"] == 0
+        a = sorted((POS_OUT / "positions").glob("pos-*.parquet"))
+        b = sorted((clone / "positions").glob("pos-*.parquet"))
+        assert [f.name for f in a] == [f.name for f in b]
+        for fa, fb in zip(a, b):
+            assert fa.read_bytes() == fb.read_bytes(), fa.name
+
     def test_use_positions_true_requires_sidecar(
         self, ray_session, built, corpus
     ):
