@@ -361,21 +361,19 @@ def verify_phrase_positions(
     pos_dir = Path(out_dir) / "positions"
     uniq_terms = sorted(set(terms))
     salts = np.unique(cand // range_size)
-    by_name = {p.name: p for p in pos_dir.glob("pos-*.parquet")}
+    by_salt = {
+        int(p.name.split("-")[1]): p for p in pos_dir.glob("pos-*.parquet")
+    }
     refs = []
     c_lo, c_hi = int(cand[0]), int(cand[-1])
     for s in salts:
-        name = next(
-            (n for n in by_name if n.startswith(f"pos-{int(s):06d}-")), None
-        )
-        if name is None:
+        path = by_salt.get(int(s))
+        if path is None:
             raise FileNotFoundError(
                 f"positions file for salt {int(s)} missing under {pos_dir}"
             )
         refs.append(
-            _read_term_positions.remote(
-                str(by_name[name]), uniq_terms, c_lo, c_hi
-            )
+            _read_term_positions.remote(str(path), uniq_terms, c_lo, c_hi)
         )
     got = pa.concat_tables(ray.get(refs))
     # keep only true candidates (the per-file filter was a range filter)
