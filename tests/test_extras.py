@@ -1509,6 +1509,16 @@ class TestIntervalJoinMulti:
                 left_cols=["lid"], interval_cols=["iv"], how="outer",
             )
 
+    def test_inverted_interval_raises(self, ray_session):
+        """start > end (e.g. swapped column arguments) is a loud error,
+        not a silent empty result — mirrors interval_join's validation."""
+        left, right = self._fixture()
+        with pytest.raises(Exception, match="inverted interval"):
+            self._run(
+                left, right, by="k", on="ts", start="hi", end="lo",
+                left_cols=["lid"], interval_cols=["iv"],
+            )
+
 
 class TestRollingStats:
     def test_cumulative_matches_pandas(self, ray_session):
@@ -1576,6 +1586,71 @@ class TestRollingStats:
         )
         pd.testing.assert_frame_equal(base, split)
         assert base["cum_n"].max() > 1
+
+    def test_split_handles_negative_event_id(self, ray_session):
+        """Regression: the carry marker is a dedicated column, not an
+        event_id=-1 sentinel — a REAL event with id -1 must come through
+        the split path intact (it used to be dropped and double-join the
+        rest of its range)."""
+        import pandas as pd
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([-1, 1, 2], type=pa.int64()),
+                "user_id": pa.array([7, 7, 7], type=pa.int64()),
+                "ts": pa.array(
+                    [10 * us, 150 * us, 260 * us], type=pa.timestamp("us")
+                ),
+                "value": pa.array([10.0, 1.0, 2.0]),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        canon = lambda df: df.sort_values(
+            ["user_id", "cum_n"], ignore_index=True
+        )[["event_id", "user_id", "ts", "cum_n", "cum_value"]]
+        base = canon(windows.rolling_user_stats(ds).to_pandas())
+        split = canon(
+            windows.rolling_user_stats(ds, split_us=100 * us).to_pandas()
+        )
+        pd.testing.assert_frame_equal(base, split)
+        assert split["event_id"].tolist() == [-1, 1, 2]
+        assert split["cum_value"].tolist() == [10.0, 11.0, 13.0]
+
+    def test_split_preserves_user_id_type(self, ray_session):
+        """Regression: split mode must not coerce user_id to int64 — a
+        string-keyed corpus gets the same schema and values on both
+        paths."""
+        import pandas as pd
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "user_id": pa.array(["alice", "alice", "bob", "alice"]),
+                "ts": pa.array(
+                    [5 * us, 150 * us, 20 * us, 260 * us],
+                    type=pa.timestamp("us"),
+                ),
+                "value": pa.array([1.0, 2.0, 7.0, 3.0]),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        canon = lambda df: df.sort_values(
+            ["user_id", "cum_n"], ignore_index=True
+        )[["event_id", "user_id", "ts", "cum_n", "cum_value"]]
+        base = canon(windows.rolling_user_stats(ds).to_pandas())
+        split = canon(
+            windows.rolling_user_stats(ds, split_us=100 * us).to_pandas()
+        )
+        pd.testing.assert_frame_equal(base, split)
+        assert split["user_id"].tolist() == ["alice"] * 3 + ["bob"]
 
     def test_split_single_range_user(self, ray_session):
         """A user entirely inside one range exercises the off=0 carry."""
