@@ -190,20 +190,26 @@ def interval_join(
         rrows = group.filter(pa.array(~is_left))
         lcount = lrows.num_rows
         cols: dict = {c: lrows[c] for c in lcols}
+        # validate BEFORE any early return: a key whose intervals overlap
+        # must raise even when that key has no left rows in this dataset
+        # ("VALIDATED, not silent" must not be data-dependent)
+        if rrows.num_rows:
+            rrows = rrows.sort_by([(start, "ascending")])
+            starts = rrows[start].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if np.any(starts[1:] <= ends[:-1]):
+                key = rrows[by][0].as_py()
+                raise ValueError(
+                    f"interval_join: overlapping intervals for key {key!r} "
+                    "— this operator requires non-overlapping intervals per "
+                    "key (use interval_join_multi for the multi-match form)"
+                )
         if lcount == 0 or rrows.num_rows == 0:
             for c in interval_cols:
                 cols[f"matched_{c}"] = pa.nulls(lcount, type=types[c])
             return pa.table(cols)
-        rrows = rrows.sort_by([(start, "ascending")])
-        starts = rrows[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if np.any(starts[1:] <= ends[:-1]):
-            key = rrows[by][0].as_py()
-            raise ValueError(
-                f"interval_join: overlapping intervals for key {key!r} — "
-                "this operator requires non-overlapping intervals per key "
-                "(use interval_join_multi for the multi-match form)"
-            )
         lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(starts, lon, side="right") - 1
         safe = np.clip(idx, 0, None)
@@ -289,21 +295,28 @@ def interval_join_multi(
                 cols[f"matched_{c}"] = pa.nulls(n, type=types[c])
             return pa.table(cols)
 
+        # validate BEFORE any early return: inverted intervals (e.g.
+        # swapped start/end arguments) must raise even for keys with no
+        # left rows — the check must not be data-dependent
+        if rrows.num_rows:
+            starts = rrows[start].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if np.any(starts > ends):
+                key = rrows[by][0].as_py()
+                raise ValueError(
+                    f"interval_join_multi: inverted interval (start > end) "
+                    f"for key {key!r} — check the start/end column arguments"
+                )
         if lcount == 0 or rrows.num_rows == 0:
             return no_match()
         lrows = lrows.sort_by([(on, "ascending")])
         lon = lrows[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        starts = rrows[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ends = rrows[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if np.any(starts > ends):
-            key = rrows[by][0].as_py()
-            raise ValueError(
-                f"interval_join_multi: inverted interval (start > end) for "
-                f"key {key!r} — check the start/end column arguments"
-            )
         lo = np.searchsorted(lon, starts, side="left")
         hi = np.searchsorted(lon, ends, side="right")
-        counts = np.maximum(hi - lo, 0)
+        # start <= end is validated above, so hi >= lo by monotonicity
+        counts = hi - lo
         total = int(counts.sum())
         if total == 0:
             return no_match()

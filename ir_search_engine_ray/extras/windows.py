@@ -312,7 +312,8 @@ def rolling_user_stats(
             per_user, batch_format="pyarrow"
         )
 
-    ts_type = dict(zip(sel.schema().names, sel.schema().types))["ts"]
+    types = dict(zip(sel.schema().names, sel.schema().types))
+    ts_type = types["ts"]
 
     def add_range(b: pa.Table) -> pa.Table:
         rng = b["ts"].cast(pa.int64()).to_numpy() // split_us
@@ -351,7 +352,9 @@ def rolling_user_stats(
                     ]
                 ),
                 "rng": pa.array(np.full(n + 1, rng), type=pa.int64()),
-                "is_carry": pa.array([False] * n + [True]),
+                "is_carry": pa.array(
+                    np.arange(n + 1, dtype=np.int64) == n
+                ),
                 "loc_n": pa.array(
                     np.concatenate(
                         [np.arange(1, n + 1, dtype=np.int64), [n]]
@@ -364,7 +367,6 @@ def rolling_user_stats(
             }
         )
 
-    types = dict(zip(sel.schema().names, sel.schema().types))
     local = (
         sel.map_batches(add_range, batch_format="pyarrow")
         .groupby(["user_id", "rng"])
@@ -411,8 +413,10 @@ def rolling_user_stats(
     # map_batches never invokes the UDF on empty blocks, so they cannot be
     # schema-repaired in-stream; the join's partition assembly then dies on
     # the schema-less block ("no match for FieldRef").  Filter them at the
-    # block level — the documented dedup workaround.  The barrier this
-    # forces on each side is already paid by the materialize() above.
+    # block level — the documented dedup workaround.  Each filter forces
+    # its side pipeline to execute before the join starts; `local` (the
+    # expensive shared scan) is materialized once above, so the extra cost
+    # is the two small derivations, not a recompute of the groupby.
     from .dedup import _nonempty_blocks
 
     ev_refs, _ = _nonempty_blocks(per_event)

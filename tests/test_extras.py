@@ -1519,6 +1519,50 @@ class TestIntervalJoinMulti:
                 left_cols=["lid"], interval_cols=["iv"],
             )
 
+    def test_validation_not_data_dependent(self, ray_session):
+        """The inverted-interval check fires even for a key that has NO
+        left rows (validation must run before the empty-group early
+        return) — and interval_join's overlap check behaves the same."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "ts": pa.array([5], type=pa.int64()),
+                "lid": pa.array([0], type=pa.int64()),
+            }
+        )
+        bad = pa.table(  # key 2: inverted interval; key 2 has no left rows
+            {
+                "k": pa.array([2], type=pa.int64()),
+                "lo": pa.array([10], type=pa.int64()),
+                "hi": pa.array([0], type=pa.int64()),
+                "iv": pa.array([1], type=pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="inverted interval"):
+            self._run(
+                left, bad, by="k", on="ts", start="lo", end="hi",
+                left_cols=["lid"], interval_cols=["iv"],
+            )
+        overlapping = pa.table(  # key 2: overlapping; no left rows for it
+            {
+                "k": pa.array([2, 2], type=pa.int64()),
+                "lo": pa.array([0, 5], type=pa.int64()),
+                "hi": pa.array([10, 20], type=pa.int64()),
+                "iv": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="overlapping"):
+            joins.interval_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(overlapping),
+                by="k", on="ts", start="lo", end="hi",
+                left_cols=["lid"], interval_cols=["iv"],
+            ).to_pandas()
+
 
 class TestRollingStats:
     def test_cumulative_matches_pandas(self, ray_session):
