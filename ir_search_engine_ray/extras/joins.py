@@ -237,6 +237,7 @@ def interval_join_multi(
     left_cols: list[str],
     interval_cols: list[str],
     how: str = "inner",
+    split_us: int | None = None,
 ) -> ray.data.Dataset:
     """Multi-match range join: one output row per (left row, containing
     interval) with ``start <= on <= end`` and equal ``by`` key — intervals
@@ -257,14 +258,22 @@ def interval_join_multi(
     ``how="left"`` additionally emits each unmatched left row once with
     null ``matched_*`` columns; ``how="inner"`` (default) drops them.
 
-    Partitioning assumption (same as :func:`asof_join`, documented): one
-    key's rows fit one task.  For a pathological mega-key, pre-split the
-    timeline into ranges, replicating any interval into every range it
-    overlaps, and dedup on (left id, interval id) — an explicit caller
-    choice, not auto-enabled.
+    Partitioning: by default one key's rows fit one task (fine at any
+    realistic key cardinality).  For a pathological mega-key, pass
+    ``split_us`` (int64 units of the ``on``/``start``/``end`` columns —
+    microseconds for timestamps, mirroring ``windows.sessionize``): the
+    shuffle key becomes (key, time-range), each left row lands in exactly
+    ONE range and each interval is REPLICATED into every range it
+    overlaps, so every match is found exactly once — identical output, no
+    dedup pass, and per-task work bounded by the range.  Interval
+    replication factor is ~interval_length/split_us; pick split_us at or
+    above the typical interval length.  An explicit caller choice, not
+    auto-enabled (it changes the execution plan).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if split_us is not None and split_us <= 0:
+        raise ValueError(f"split_us must be positive, got {split_us}")
     lschema = left_ds.schema()
     rschema = intervals_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -273,9 +282,46 @@ def interval_join_multi(
     rcols = list(dict.fromkeys([by, start, end, *interval_cols]))
     all_cols = list(dict.fromkeys(lcols + rcols))
     types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
-    u = _project(left_ds, lcols, 0, all_cols, types).union(
-        _project(intervals_ds, rcols, 1, all_cols, types)
-    )
+    left_p = _project(left_ds, lcols, 0, all_cols, types)
+    ivl_p = _project(intervals_ds, rcols, 1, all_cols, types)
+    RNG = "__ij_rng"
+
+    def tag_left_range(b: pa.Table) -> pa.Table:
+        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
+        return b.append_column(RNG, pa.array(r, type=pa.int64()))
+
+    def explode_interval_ranges(b: pa.Table) -> pa.Table:
+        """Replicate each interval into every time range it overlaps
+        (np.repeat run expansion, one output row per (interval, range))."""
+        sv = b[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev = b[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.any(sv > ev):
+            raise ValueError(
+                "interval_join_multi: inverted interval (start > end) — "
+                "check the start/end column arguments"
+            )
+        lo_r = sv // split_us
+        counts = ev // split_us - lo_r + 1
+        total = int(counts.sum())
+        idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        first = np.cumsum(counts) - counts
+        rng = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(first, counts)
+            + np.repeat(lo_r, counts)
+        )
+        return b.take(pa.array(idx)).append_column(
+            RNG, pa.array(rng, type=pa.int64())
+        )
+
+    if split_us is None:
+        u = left_p.union(ivl_p)
+        group_keys: list[str] = [by]
+    else:
+        u = left_p.map_batches(tag_left_range, batch_format="pyarrow").union(
+            ivl_p.map_batches(explode_interval_ranges, batch_format="pyarrow")
+        )
+        group_keys = [by, RNG]
 
     def join_group(group: pa.Table) -> pa.Table:
         side = group[_SIDE].to_numpy(zero_copy_only=False)
@@ -348,4 +394,4 @@ def interval_join_multi(
             cols[f"matched_{c}"] = vals
         return pa.table(cols)
 
-    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")
+    return u.groupby(group_keys).map_groups(join_group, batch_format="pyarrow")

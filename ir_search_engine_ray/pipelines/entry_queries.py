@@ -741,8 +741,12 @@ def q_event_campaign_join(sf_dir: str) -> ray.data.Dataset:
     open at min(ts) + i*1d and span 2d — width > step, so adjacent windows
     overlap and one event can match two of them, exercising
     ``interval_join_multi``'s multiplying semantics (the single-match
-    ``interval_join`` raises on this fixture).  Oracle: DuckDB
-    ``JOIN ... ON ts BETWEEN wstart AND wend``."""
+    ``interval_join`` raises on this fixture).  Runs with the mega-key
+    SPLIT path active (``split_us`` = the 1-day campaign step: left rows
+    range-tagged, intervals replicated per overlapped range) so the
+    driver verifies the scale shape, not just the one-task-per-key
+    fallback.  Oracle: DuckDB ``JOIN ... ON ts BETWEEN wstart AND
+    wend``."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts"],
@@ -778,6 +782,7 @@ def q_event_campaign_join(sf_dir: str) -> ray.data.Dataset:
         end="wend",
         left_cols=["event_id"],
         interval_cols=["campaign_id"],
+        split_us=CAMPAIGN_STEP_US,
     )
     return out.map_batches(
         lambda b: b.rename_columns(

@@ -1519,6 +1519,36 @@ class TestIntervalJoinMulti:
                 left_cols=["lid"], interval_cols=["iv"],
             )
 
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_split_path_identical(self, ray_session, how):
+        """split_us (the mega-key scale path: left rows range-tagged,
+        intervals replicated per overlapped range) returns exactly the
+        unsplit result — including intervals spanning MANY ranges."""
+        import pandas as pd
+
+        left, right = self._fixture(seed=23, n_left=120, n_iv=15)
+        kw = dict(
+            by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"], how=how,
+        )
+        canon = lambda df: df.sort_values(
+            ["lid", "matched_iv"], ignore_index=True
+        )
+        base = canon(self._run(left, right, **kw))
+        # split_us=7: typical interval length ~5-40, so most intervals
+        # replicate into several ranges
+        split = canon(self._run(left, right, split_us=7, **kw))
+        pd.testing.assert_frame_equal(base, split)
+        assert base["lid"].duplicated().any()  # overlap exercised
+
+    def test_split_rejects_bad_split(self, ray_session):
+        left, right = self._fixture()
+        with pytest.raises(ValueError, match="split_us"):
+            self._run(
+                left, right, by="k", on="ts", start="lo", end="hi",
+                left_cols=["lid"], interval_cols=["iv"], split_us=0,
+            )
+
     def test_validation_not_data_dependent(self, ray_session):
         """The inverted-interval check fires even for a key that has NO
         left rows (validation must run before the empty-group early
