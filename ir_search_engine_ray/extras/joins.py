@@ -11,13 +11,15 @@ all-to-all is the hash shuffle on the join key, identical in shape to any
 equi-join.  Inside a group both sides are sorted once and every left row
 resolves with one vectorized ``np.searchsorted``; no per-row Python.
 
-Partitioning assumption (documented per the round brief): one key's rows
-fit one task.  That holds for any realistic key cardinality (a key with
-billions of rows is a data-model smell); for a pathological mega-key,
-pre-split the timeline into ranges and carry each range's last right row
-forward — the same segment-merge trick ``windows.sessionize(split_us=...)``
-uses.  Not auto-enabled: boundary handoff changes the execution plan and
-should be an explicit caller choice.
+Partitioning: by default one key's rows fit one task — fine at any
+realistic key cardinality (a key with billions of rows is a data-model
+smell).  For a pathological mega-key BOTH joins take ``split_us``, the
+same opt-in pre-split family as ``windows.sessionize``: ``asof_join``
+carries each range's last right row forward (segment-sized side stages,
+see :func:`_asof_split`), ``interval_join_multi`` replicates intervals
+into the ranges they overlap.  Output is identical to the unsplit path
+(asserted in tests); not auto-enabled because it changes the execution
+plan, which should be an explicit caller choice.
 
 Tie semantics (locked, hash-stable): when several right rows share the
 matched timestamp, the reported ``matched_<on>`` is that timestamp (always
@@ -62,14 +64,28 @@ def asof_join(
     left_cols: list[str],
     right_value_cols: list[str] | None = None,
     strict: bool = False,
+    split_us: int | None = None,
 ) -> ray.data.Dataset:
     """For each left row: the latest right row with ``right.on <= left.on``
     (``<`` when ``strict``) and equal ``by`` key.
 
     Output: ``left_cols`` + ``matched_<on>`` (null when no prior right row)
     + ``matched_<col>`` for each requested right value column.
+
+    ``split_us`` (int64 units of ``on``; the mega-key scale path, same
+    family as ``sessionize``/``rolling_user_stats``/``interval_join_multi``)
+    changes the shuffle key to (key, time-range) and carries each range's
+    LAST right row forward so in-range resolution stays exact: per-range
+    last rights reduce map-side (combiner), a per-key segment pass derives
+    each left range's carry (the latest right row of any EARLIER range),
+    and the final (key, range) group resolves against in-range rights plus
+    that one carry row — identical output to the unsplit path, per-task
+    work bounded by the range.  Rows moved by the extra stages are one per
+    SEGMENT, never per event.
     """
     right_value_cols = right_value_cols or []
+    if split_us is not None and split_us <= 0:
+        raise ValueError(f"split_us must be positive, got {split_us}")
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -78,9 +94,8 @@ def asof_join(
     rcols = list(dict.fromkeys([by, on, *right_value_cols]))
     all_cols = list(dict.fromkeys(lcols + rcols))
     types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
-    u = _project(left_ds, lcols, 0, all_cols, types).union(
-        _project(right_ds, rcols, 1, all_cols, types)
-    )
+    left_p = _project(left_ds, lcols, 0, all_cols, types)
+    right_p = _project(right_ds, rcols, 1, all_cols, types)
     on_type = types[on]
     out_left = lcols
 
@@ -142,7 +157,132 @@ def asof_join(
             cols[f"matched_{c}"] = vals
         return pa.table(cols)
 
-    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")
+    if split_us is None:
+        return left_p.union(right_p).groupby(by).map_groups(
+            join_group, batch_format="pyarrow"
+        )
+    return _asof_split(
+        left_p,
+        right_p,
+        join_group,
+        by=by,
+        on=on,
+        value_cols=right_value_cols,
+        split_us=split_us,
+    )
+
+
+def _asof_split(
+    left_p: ray.data.Dataset,
+    right_p: ray.data.Dataset,
+    join_group,
+    *,
+    by: str,
+    on: str,
+    value_cols: list[str],
+    split_us: int,
+) -> ray.data.Dataset:
+    """The asof mega-key path (see :func:`asof_join` docstring).
+
+    Stages (rows moved by the side stages are one per SEGMENT):
+    1. tag both sides with ``rng = on // split_us``;
+    2. ``rightons``: the last right row per (key, range) under the tie
+       sort — map-side combiner (same function) then a segment-sized
+       groupby reduce;
+    3. ``left_ranges``: one representative left row per (key, range) —
+       same combiner/reduce shape;
+    4. ``carries``: per key, each left range's carry = the righton of the
+       latest EARLIER range (vectorized searchsorted over the key's
+       segments), re-tagged to the left range with side marker 2;
+    5. final ``groupby((key, range))``: the ORIGINAL join_group — it
+       already treats every non-left side as a right candidate, and a
+       carry's ``on`` is strictly below the range start so the (on,
+       value_cols) tie sort stays correct.
+    """
+    from .dedup import _nonempty_blocks
+
+    RNG = "__asof_rng"
+
+    def tag(b: pa.Table) -> pa.Table:
+        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
+        return b.append_column(RNG, pa.array(r, type=pa.int64()))
+
+    lt = left_p.map_batches(tag, batch_format="pyarrow")
+    rt = right_p.map_batches(tag, batch_format="pyarrow")
+    sort_keys = (
+        [(by, "ascending"), (RNG, "ascending"), (on, "ascending")]
+        + [(c, "ascending") for c in value_cols]
+    )
+
+    def seg_last(b: pa.Table) -> pa.Table:
+        """Last row per (key, range) under the tie sort — serves as both
+        the map-side combiner and the per-group reducer."""
+        if b.num_rows == 0:
+            return b
+        b = b.sort_by(sort_keys)
+        kb = b[by].to_numpy(zero_copy_only=False)
+        kr = b[RNG].to_numpy(zero_copy_only=False)
+        bound = np.flatnonzero((kb[1:] != kb[:-1]) | (kr[1:] != kr[:-1]))
+        idx = np.concatenate([bound, [b.num_rows - 1]])
+        return b.take(pa.array(idx))
+
+    rightons = (
+        rt.map_batches(seg_last, batch_format="pyarrow")
+        .groupby([by, RNG])
+        .map_groups(seg_last, batch_format="pyarrow")
+    )
+    left_ranges = (
+        lt.map_batches(seg_last, batch_format="pyarrow")
+        .groupby([by, RNG])
+        .map_groups(seg_last, batch_format="pyarrow")
+    )
+
+    def carry_group(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        rons = g.filter(pa.array(side == 1))
+        needs = g.filter(pa.array(side == 0))
+        if rons.num_rows == 0 or needs.num_rows == 0:
+            return g.slice(0, 0)
+        rons = rons.sort_by([(RNG, "ascending")])
+        rr = rons[RNG].to_numpy(zero_copy_only=False)
+        nr = needs[RNG].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rr, nr, side="left") - 1
+        have = idx >= 0
+        if not have.any():
+            return g.slice(0, 0)
+        out = rons.take(pa.array(idx[have]))
+        out = out.set_column(
+            out.column_names.index(RNG),
+            RNG,
+            pa.array(nr[have], type=pa.int64()),
+        )
+        return out.set_column(
+            out.column_names.index(_SIDE),
+            _SIDE,
+            pa.array(
+                np.full(out.num_rows, 2, dtype=np.int8), type=pa.int8()
+            ),
+        )
+
+    # segment-sized tables come out of groupbys, which can emit empty
+    # ZERO-COLUMN blocks that crash downstream groupbys — filter at the
+    # block level (the documented dedup workaround)
+    ron_refs, _ = _nonempty_blocks(rightons)
+    lr_refs, _ = _nonempty_blocks(left_ranges)
+    u = lt.union(rt)
+    if ron_refs and lr_refs:
+        carries = (
+            ray.data.from_arrow_refs(ron_refs)
+            .union(ray.data.from_arrow_refs(lr_refs))
+            .groupby(by)
+            .map_groups(carry_group, batch_format="pyarrow")
+        )
+        c_refs, _ = _nonempty_blocks(carries)
+        if c_refs:
+            u = u.union(ray.data.from_arrow_refs(c_refs))
+    return u.groupby([by, RNG]).map_groups(
+        join_group, batch_format="pyarrow"
+    )
 
 
 def interval_join(

@@ -628,7 +628,10 @@ def _pii_enrich(batch: pa.Table) -> pa.Table:
 
 def q_asof_attribution(sf_dir: str) -> ray.data.Dataset:
     """As-of join: each purchase event -> the user's most recent prior (or
-    simultaneous) click.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    simultaneous) click.  Runs with the mega-key SPLIT path active (1-day
+    ranges + carry-forward of each range's last click) so the driver
+    verifies the scale shape, not just the one-task-per-key fallback.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
@@ -651,7 +654,12 @@ def q_asof_attribution(sf_dir: str) -> ray.data.Dataset:
         of_type("click", ["user_id", "ts"]), batch_format="pyarrow"
     )
     out = joins.asof_join(
-        left, right, by="user_id", on="ts", left_cols=["event_id"]
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        split_us=24 * windows.HOUR_US,
     )
     return out.map_batches(
         lambda b: b.rename_columns(

@@ -1230,6 +1230,77 @@ class TestAsofJoin:
         # deterministic tie-break: last row under (ts, v) sort -> v=5
         assert out["matched_v"].tolist() == [5]
 
+    @pytest.mark.parametrize("strict", [False, True])
+    def test_split_path_identical(self, ray_session, strict):
+        """split_us (mega-key carry-forward path) must equal the unsplit
+        result exactly: sparse-rights keys where the carry reaches back
+        MANY empty ranges, ties at range boundaries, keys with no rights
+        at all, and lefts before the first right (null match)."""
+        import pandas as pd
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        rng = np.random.default_rng(41)
+        n_l, n_r = 200, 60
+        left = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 5, n_l), type=pa.int64()),
+                "ts": pa.array(rng.integers(0, 300, n_l), type=pa.int64()),
+                "lid": pa.array(np.arange(n_l), type=pa.int64()),
+            }
+        )
+        # key 4 gets NO rights; key 3's rights all sit in the first range
+        rk = rng.integers(0, 3, n_r)
+        rts = rng.integers(0, 300, n_r)
+        rk = np.concatenate([rk, [3, 3]])
+        rts = np.concatenate([rts, [1, 2]])
+        right = pa.table(
+            {
+                "k": pa.array(rk, type=pa.int64()),
+                "ts": pa.array(rts, type=pa.int64()),
+                "v": pa.array(
+                    rng.integers(0, 9, rk.size), type=pa.int64()
+                ),
+            }
+        )
+        kw = dict(
+            by="k", on="ts", left_cols=["lid"], right_value_cols=["v"],
+            strict=strict,
+        )
+        canon = lambda df: df.sort_values("lid", ignore_index=True)
+        base = canon(
+            joins.asof_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(2),
+                **kw,
+            ).to_pandas()
+        )
+        split = canon(
+            joins.asof_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(2),
+                split_us=20,
+                **kw,
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(base, split)
+        assert base["matched_ts"].notna().any()
+        assert base["matched_ts"].isna().any()  # key 4 + early lefts
+
+    def test_split_rejects_bad_split(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        t = pa.table({"k": pa.array([1]), "ts": pa.array([1]),
+                      "lid": pa.array([1])})
+        with pytest.raises(ValueError, match="split_us"):
+            joins.asof_join(
+                ray.data.from_arrow(t), ray.data.from_arrow(t),
+                by="k", on="ts", left_cols=["lid"], split_us=-5,
+            )
+
 
 def pd_isna(x):
     import pandas as pd
