@@ -285,6 +285,53 @@ def _asof_split(
     )
 
 
+
+_IJ_RNG = "__ij_rng"
+
+
+def _tag_on_ranges(
+    ds: ray.data.Dataset, on: str, split_us: int
+) -> ray.data.Dataset:
+    """Append the time-range key ``on // split_us`` to every row."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
+        return b.append_column(_IJ_RNG, pa.array(r, type=pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _replicate_interval_ranges(
+    ds: ray.data.Dataset, start: str, end: str, split_us: int, caller: str
+) -> ray.data.Dataset:
+    """Replicate each interval into every time range it overlaps
+    (np.repeat run expansion, one output row per (interval, range))."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        sv = b[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev = b[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.any(sv > ev):
+            raise ValueError(
+                f"{caller}: inverted interval (start > end) — check the "
+                "start/end column arguments"
+            )
+        lo_r = sv // split_us
+        counts = ev // split_us - lo_r + 1
+        total = int(counts.sum())
+        idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        first = np.cumsum(counts) - counts
+        rng = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(first, counts)
+            + np.repeat(lo_r, counts)
+        )
+        return b.take(pa.array(idx)).append_column(
+            _IJ_RNG, pa.array(rng, type=pa.int64())
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def interval_join(
     left_ds: ray.data.Dataset,
     intervals_ds: ray.data.Dataset,
@@ -295,6 +342,7 @@ def interval_join(
     end: str,
     left_cols: list[str],
     interval_cols: list[str],
+    split_us: int | None = None,
 ) -> ray.data.Dataset:
     """Range join: match each left row to the interval containing it
     (``start <= on <= end``, equal ``by`` key) — e.g. events -> sessions,
@@ -310,7 +358,16 @@ def interval_join(
     pointing at :func:`interval_join_multi`, the multi-match form with
     multiplying output.  Unmatched left rows keep nulls (left-join
     semantics).
+
+    ``split_us`` (mega-key path, same contract as
+    :func:`interval_join_multi`): shuffle on (key, time-range) with
+    intervals replicated per overlapped range — identical output, per-task
+    work bounded by the range.  The overlap validation stays complete:
+    two truly overlapping intervals always share at least one range, so
+    the per-range check still sees them together.
     """
+    if split_us is not None and split_us <= 0:
+        raise ValueError(f"split_us must be positive, got {split_us}")
     lschema = left_ds.schema()
     rschema = intervals_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -319,9 +376,18 @@ def interval_join(
     rcols = list(dict.fromkeys([by, start, end, *interval_cols]))
     all_cols = list(dict.fromkeys(lcols + rcols))
     types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
-    u = _project(left_ds, lcols, 0, all_cols, types).union(
-        _project(intervals_ds, rcols, 1, all_cols, types)
-    )
+    left_p = _project(left_ds, lcols, 0, all_cols, types)
+    ivl_p = _project(intervals_ds, rcols, 1, all_cols, types)
+    if split_us is None:
+        u = left_p.union(ivl_p)
+        group_keys: list[str] = [by]
+    else:
+        u = _tag_on_ranges(left_p, on, split_us).union(
+            _replicate_interval_ranges(
+                ivl_p, start, end, split_us, "interval_join"
+            )
+        )
+        group_keys = [by, _IJ_RNG]
 
     def join_group(group: pa.Table) -> pa.Table:
         side = group[_SIDE].to_numpy(zero_copy_only=False)
@@ -363,7 +429,7 @@ def interval_join(
             cols[f"matched_{c}"] = vals
         return pa.table(cols)
 
-    return u.groupby(by).map_groups(join_group, batch_format="pyarrow")
+    return u.groupby(group_keys).map_groups(join_group, batch_format="pyarrow")
 
 
 def interval_join_multi(
@@ -424,44 +490,16 @@ def interval_join_multi(
     types = {c: (ltypes.get(c) or rtypes.get(c)) for c in all_cols}
     left_p = _project(left_ds, lcols, 0, all_cols, types)
     ivl_p = _project(intervals_ds, rcols, 1, all_cols, types)
-    RNG = "__ij_rng"
-
-    def tag_left_range(b: pa.Table) -> pa.Table:
-        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
-        return b.append_column(RNG, pa.array(r, type=pa.int64()))
-
-    def explode_interval_ranges(b: pa.Table) -> pa.Table:
-        """Replicate each interval into every time range it overlaps
-        (np.repeat run expansion, one output row per (interval, range))."""
-        sv = b[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ev = b[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if np.any(sv > ev):
-            raise ValueError(
-                "interval_join_multi: inverted interval (start > end) — "
-                "check the start/end column arguments"
-            )
-        lo_r = sv // split_us
-        counts = ev // split_us - lo_r + 1
-        total = int(counts.sum())
-        idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
-        first = np.cumsum(counts) - counts
-        rng = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(first, counts)
-            + np.repeat(lo_r, counts)
-        )
-        return b.take(pa.array(idx)).append_column(
-            RNG, pa.array(rng, type=pa.int64())
-        )
-
     if split_us is None:
         u = left_p.union(ivl_p)
         group_keys: list[str] = [by]
     else:
-        u = left_p.map_batches(tag_left_range, batch_format="pyarrow").union(
-            ivl_p.map_batches(explode_interval_ranges, batch_format="pyarrow")
+        u = _tag_on_ranges(left_p, on, split_us).union(
+            _replicate_interval_ranges(
+                ivl_p, start, end, split_us, "interval_join_multi"
+            )
         )
-        group_keys = [by, RNG]
+        group_keys = [by, _IJ_RNG]
 
     def join_group(group: pa.Table) -> pa.Table:
         side = group[_SIDE].to_numpy(zero_copy_only=False)

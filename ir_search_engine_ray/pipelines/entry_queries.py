@@ -712,7 +712,9 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
 def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
     """Range join: every event -> the session window containing it (the
     intervals come from sessionize, so the join closes the loop between
-    the windowing and join operators)."""
+    the windowing and join operators).  Runs with the mega-key SPLIT path
+    active (1-day ranges, session windows replicated per overlapped
+    range) so the driver verifies the scale shape."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts"],
@@ -728,6 +730,7 @@ def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
         end="session_end",
         left_cols=["event_id"],
         interval_cols=["session_idx"],
+        split_us=24 * windows.HOUR_US,
     )
     return out.map_batches(
         lambda b: b.rename_columns(

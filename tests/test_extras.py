@@ -1444,6 +1444,50 @@ class TestIntervalJoin:
         )
         assert out["matched_iv"].tolist() == [7, 7]
 
+    def test_split_path_identical(self, ray_session):
+        """split_us (range-tagged left + per-range interval replication)
+        must equal the unsplit single-match result, including unmatched
+        nulls and intervals spanning several ranges."""
+        import pandas as pd
+
+        rng = np.random.default_rng(17)
+        n_l, n_iv = 120, 10
+        left = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 4, n_l), type=pa.int64()),
+                "ts": pa.array(rng.integers(0, 200, n_l), type=pa.int64()),
+                "lid": pa.array(np.arange(n_l), type=pa.int64()),
+            }
+        )
+        # non-overlapping per key: one interval per (key, slot of 50)
+        ks, los, his, ivs = [], [], [], []
+        for k in range(4):
+            for slot in range(4):
+                if rng.random() < 0.7:
+                    lo = slot * 50 + int(rng.integers(0, 10))
+                    ks.append(k)
+                    los.append(lo)
+                    his.append(lo + int(rng.integers(5, 35)))
+                    ivs.append(len(ivs))
+        right = pa.table(
+            {
+                "k": pa.array(ks, type=pa.int64()),
+                "lo": pa.array(los, type=pa.int64()),
+                "hi": pa.array(his, type=pa.int64()),
+                "iv": pa.array(ivs, type=pa.int64()),
+            }
+        )
+        kw = dict(
+            by="k", on="ts", start="lo", end="hi",
+            left_cols=["lid"], interval_cols=["iv"],
+        )
+        canon = lambda df: df.sort_values("lid", ignore_index=True)
+        base = canon(self._run(left, right, **kw))
+        split = canon(self._run(left, right, split_us=15, **kw))
+        pd.testing.assert_frame_equal(base, split)
+        assert base["matched_iv"].notna().any()
+        assert base["matched_iv"].isna().any()
+
     def test_overlap_raises(self, ray_session):
         left = pa.table(
             {
