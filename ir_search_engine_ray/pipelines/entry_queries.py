@@ -493,8 +493,11 @@ def q_event_windows(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap sessionization with the mega-user SPLIT path active (24h
+    time-range pre-split + segment merge), so the driver verifies the
+    scale shape — matching rolling_user_stats and the three joins."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
-    return windows.sessionize(ev)
+    return windows.sessionize(ev, split_us=24 * windows.HOUR_US)
 
 
 HOP_US = windows.HOUR_US // 4  # 1h windows hopping every 15min
