@@ -194,6 +194,77 @@ class TestPositions:
             assert e_pos.phrase_query(p) == e_no.phrase_query(p), p
 
 
+class TestPositionsKillResume:
+    def test_sigkill_mid_positions_then_resume(
+        self, ray_session, corpus, tmp_path
+    ):
+        """Hard-kill a positions build mid-stage; resuming must keep the
+        completed per-salt files (lineage-hash skip) and converge to files
+        byte-identical to an uninterrupted build."""
+        import os
+        import signal
+        import shutil as sh
+        import subprocess
+        import sys
+        import time
+
+        from ir_search_engine_ray.pipelines import positions
+        from ir_search_engine_ray.pipelines.index_build import build_index
+
+        out = tmp_path / "idx"
+        build_index(str(corpus / "transcripts"), out, concurrency=2)
+        clean = tmp_path / "idx_clean"
+        sh.copytree(out, clean)
+        positions.build_positions(clean, row_group_size=64)
+
+        script = (
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from ir_search_engine_ray.pipelines.positions import "
+            "build_positions\n"
+            f"build_positions({str(out)!r}, row_group_size=64)\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            cwd="/root/repo",
+        )
+        pos_dir = out / "positions"
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if len(list(pos_dir.glob("pos-*.parquet"))) >= 2:
+                    break
+                if proc.poll() is not None:
+                    break  # finished first — still a valid resume test
+                time.sleep(0.05)
+            else:
+                pytest.fail("positions subprocess never produced files")
+        finally:
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+
+        n_partial = len(list(pos_dir.glob("pos-*.parquet")))
+        marker = positions.build_positions(out, row_group_size=64)
+        assert marker["n_salts"] == len(
+            list(pos_dir.glob("pos-*.parquet"))
+        )
+        if proc.returncode and proc.returncode < 0 and n_partial:
+            # files completed before the kill were skipped, not rewritten
+            assert marker["n_skipped"] >= min(n_partial, marker["n_salts"])
+        want = {
+            f.name: f.read_bytes()
+            for f in sorted((clean / "positions").glob("pos-*.parquet"))
+        }
+        got = {
+            f.name: f.read_bytes()
+            for f in sorted(pos_dir.glob("pos-*.parquet"))
+        }
+        assert got == want
+
+
 class TestPositionsBatchTable:
     def test_matches_manual_grouping(self, ray_session):
         from ir_search_engine_ray.pipelines.positions import (
