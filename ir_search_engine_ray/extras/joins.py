@@ -202,13 +202,17 @@ def _asof_split(
     from .dedup import _nonempty_blocks
 
     RNG = "__asof_rng"
-
-    def tag(b: pa.Table) -> pa.Table:
-        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
-        return b.append_column(RNG, pa.array(r, type=pa.int64()))
-
-    lt = left_p.map_batches(tag, batch_format="pyarrow")
-    rt = right_p.map_batches(tag, batch_format="pyarrow")
+    # materialize the tagged sides ONCE: each feeds both a segment side
+    # stage (forced eagerly by the empty-block filter below) and the final
+    # union — without this the upstream pipeline would execute twice, and
+    # a nondeterministic upstream (sample/shuffle) would give the carries
+    # a DIFFERENT row set than the final join sees
+    lt = _tag_on_ranges(
+        left_p, on, split_us, "asof_join", rng_col=RNG
+    ).materialize()
+    rt = _tag_on_ranges(
+        right_p, on, split_us, "asof_join", rng_col=RNG
+    ).materialize()
     sort_keys = (
         [(by, "ascending"), (RNG, "ascending"), (on, "ascending")]
         + [(c, "ascending") for c in value_cols]
@@ -226,16 +230,15 @@ def _asof_split(
         idx = np.concatenate([bound, [b.num_rows - 1]])
         return b.take(pa.array(idx))
 
-    rightons = (
-        rt.map_batches(seg_last, batch_format="pyarrow")
-        .groupby([by, RNG])
-        .map_groups(seg_last, batch_format="pyarrow")
-    )
-    left_ranges = (
-        lt.map_batches(seg_last, batch_format="pyarrow")
-        .groupby([by, RNG])
-        .map_groups(seg_last, batch_format="pyarrow")
-    )
+    def seg_per_range(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            ds.map_batches(seg_last, batch_format="pyarrow")
+            .groupby([by, RNG])
+            .map_groups(seg_last, batch_format="pyarrow")
+        )
+
+    rightons = seg_per_range(rt)
+    left_ranges = seg_per_range(lt)
 
     def carry_group(g: pa.Table) -> pa.Table:
         side = g[_SIDE].to_numpy(zero_copy_only=False)
@@ -289,14 +292,31 @@ def _asof_split(
 _IJ_RNG = "__ij_rng"
 
 
+def _int64_no_nulls(col, name: str, caller: str) -> np.ndarray:
+    """int64 view of a column for range math; nulls raise a CLEAR error —
+    the unsplit paths' null behavior is unspecified, and letting a null
+    silently become NaN here would poison the range keys."""
+    arr = col.cast(pa.int64())
+    if arr.null_count:
+        raise ValueError(
+            f"{caller}: column {name!r} contains nulls — the split_us "
+            "path requires non-null timestamps/bounds (filter them first)"
+        )
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def _tag_on_ranges(
-    ds: ray.data.Dataset, on: str, split_us: int
+    ds: ray.data.Dataset,
+    on: str,
+    split_us: int,
+    caller: str,
+    rng_col: str = _IJ_RNG,
 ) -> ray.data.Dataset:
     """Append the time-range key ``on // split_us`` to every row."""
 
     def tag(b: pa.Table) -> pa.Table:
-        r = b[on].cast(pa.int64()).to_numpy(zero_copy_only=False) // split_us
-        return b.append_column(_IJ_RNG, pa.array(r, type=pa.int64()))
+        r = _int64_no_nulls(b[on], on, caller) // split_us
+        return b.append_column(rng_col, pa.array(r, type=pa.int64()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
 
@@ -308,8 +328,8 @@ def _replicate_interval_ranges(
     (np.repeat run expansion, one output row per (interval, range))."""
 
     def explode(b: pa.Table) -> pa.Table:
-        sv = b[start].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ev = b[end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sv = _int64_no_nulls(b[start], start, caller)
+        ev = _int64_no_nulls(b[end], end, caller)
         if np.any(sv > ev):
             raise ValueError(
                 f"{caller}: inverted interval (start > end) — check the "
@@ -382,7 +402,7 @@ def interval_join(
         u = left_p.union(ivl_p)
         group_keys: list[str] = [by]
     else:
-        u = _tag_on_ranges(left_p, on, split_us).union(
+        u = _tag_on_ranges(left_p, on, split_us, "interval_join").union(
             _replicate_interval_ranges(
                 ivl_p, start, end, split_us, "interval_join"
             )
@@ -494,7 +514,9 @@ def interval_join_multi(
         u = left_p.union(ivl_p)
         group_keys: list[str] = [by]
     else:
-        u = _tag_on_ranges(left_p, on, split_us).union(
+        u = _tag_on_ranges(
+            left_p, on, split_us, "interval_join_multi"
+        ).union(
             _replicate_interval_ranges(
                 ivl_p, start, end, split_us, "interval_join_multi"
             )

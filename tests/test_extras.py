@@ -1301,6 +1301,32 @@ class TestAsofJoin:
                 by="k", on="ts", left_cols=["lid"], split_us=-5,
             )
 
+    def test_split_rejects_null_timestamps(self, ray_session):
+        """Nulls in the range column raise a CLEAR error on the split path
+        (a null would otherwise silently poison the range keys)."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import joins
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1], type=pa.int64()),
+                "ts": pa.array([5, None], type=pa.int64()),
+                "lid": pa.array([0, 1], type=pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1], type=pa.int64()),
+                "ts": pa.array([3], type=pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="contains nulls"):
+            joins.asof_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                by="k", on="ts", left_cols=["lid"], split_us=10,
+            ).to_pandas()
+
 
 def pd_isna(x):
     import pandas as pd

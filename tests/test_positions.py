@@ -229,6 +229,8 @@ class TestPositionsKillResume:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
             cwd="/root/repo",
+            start_new_session=True,  # SIGKILL the whole group: the child's
+            # private Ray cluster (gcs/raylet) has no atexit after SIGKILL
         )
         pos_dir = out / "positions"
         deadline = time.time() + 120
@@ -237,13 +239,19 @@ class TestPositionsKillResume:
                 if len(list(pos_dir.glob("pos-*.parquet"))) >= 2:
                     break
                 if proc.poll() is not None:
-                    break  # finished first — still a valid resume test
+                    # finished first is a valid resume test — but a CRASH
+                    # (import error, ray.init failure) is neither a kill
+                    # nor a finish and would silently skip the scenario
+                    assert proc.returncode == 0, (
+                        f"positions subprocess crashed rc={proc.returncode}"
+                    )
+                    break
                 time.sleep(0.05)
             else:
                 pytest.fail("positions subprocess never produced files")
         finally:
             if proc.poll() is None:
-                os.kill(proc.pid, signal.SIGKILL)
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
                 proc.wait()
 
         n_partial = len(list(pos_dir.glob("pos-*.parquet")))
