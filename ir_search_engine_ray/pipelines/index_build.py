@@ -967,6 +967,17 @@ def append_index(
         "appended": stats_old.get("appended", 0) + 1,
     }
     atomic_write_json(out / "stats.json", stats)
+    if (out / "positions" / "_SUCCESS").exists():
+        # the sidecar's fingerprint no longer matches: phrase queries
+        # silently fall back to the re-tokenize verify until refreshed
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "append_index: the positional sidecar under %s is now STALE — "
+            "re-run pipelines.positions.build_positions(out_dir) (or "
+            "`build --append --positions`) to refresh it in O(delta)",
+            out / "positions",
+        )
     return IndexMeta(
         out_dir=out,
         N=N,
