@@ -273,6 +273,55 @@ class TestPositionsKillResume:
         assert got == want
 
 
+class TestPositionsBatchTableProperty:
+    def test_matches_naive_grouping_property(self, ray_session):
+        """Hypothesis: for ANY batch of token streams, the vectorized
+        lexsort grouping equals the naive per-token dict build — same
+        groups, same position lists, (term, doc_id)-sorted output."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.pipelines.positions import (
+            positions_batch_table,
+        )
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        pipe = TokenPipeline("simple")
+        vocab = ["blade", "rotor", "wing", "flow", "mach"]
+
+        @given(
+            st.lists(
+                st.lists(st.sampled_from(vocab), max_size=12),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        @settings(max_examples=80, deadline=None)
+        def check(docs):
+            texts = [" ".join(d) for d in docs]
+            doc_ids = np.arange(100, 100 + len(docs), dtype=np.int64)
+            out = positions_batch_table(doc_ids, texts, pipe)
+            naive: dict = {}
+            for did, toks in zip(doc_ids, docs):
+                for i, tk in enumerate(toks):
+                    naive.setdefault((tk, int(did)), []).append(i)
+            got = {
+                (t, d): p
+                for t, d, p in zip(
+                    out["term"].to_pylist(),
+                    out["doc_id"].to_pylist(),
+                    out["positions"].to_pylist(),
+                )
+            }
+            assert got == naive
+            keys = list(
+                zip(out["term"].to_pylist(), out["doc_id"].to_pylist())
+            )
+            assert keys == sorted(keys)
+
+        check()
+
+
 class TestPositionsBatchTable:
     def test_matches_manual_grouping(self, ray_session):
         from ir_search_engine_ray.pipelines.positions import (
