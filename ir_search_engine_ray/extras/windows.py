@@ -56,7 +56,11 @@ def tumbling_counts(
     """Per (tumbling window, event_type): event count + value sum."""
     from ray.data.aggregate import Sum
 
-    partials = events_ds.map_batches(
+    # select BEFORE the map: projection cannot push past map_batches, and
+    # the events table carries a fat props column this aggregate never reads
+    partials = events_ds.select_columns(
+        ["ts", "event_type", "value"]
+    ).map_batches(
         _tumbling_partial, fn_kwargs={"window_us": window_us}, batch_format="pyarrow"
     )
     g = partials.groupby(["window_start", "event_type"]).aggregate(
@@ -125,7 +129,8 @@ def hopping_counts(
     from ray.data.aggregate import Sum
 
     g = (
-        events_ds.map_batches(partial, batch_format="pyarrow")
+        events_ds.select_columns(["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
         .aggregate(Sum("n_events"), Sum("sum_value"))
     )

@@ -395,6 +395,17 @@ def _docs_ds(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _emb_ds(sf_dir: str) -> ray.data.Dataset:
+    """Embeddings read, pruned to (vec_id, embedding) — the label column
+    never feeds an ANN/near-dup pipeline — and split into multiple read
+    tasks (a single parquet file reads as ONE task without the override)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+
+
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return dedup.exact_dedup(_docs_ds(sf_dir))
 
@@ -483,7 +494,7 @@ def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
 
 
 def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_ds(sf_dir)
     return ann.cosine_topk(emb, _query_vec(sf_dir, 0), k=10, exclude=0)
 
 
@@ -512,9 +523,13 @@ def q_ann_batch_topk(sf_dir: str) -> pa.Table:
     """Batched ANN: 5 query vectors answered in ONE corpus pass."""
     import pyarrow.parquet as pq
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    head = t.filter(pa.compute.less(t["vec_id"], 5)).sort_by("vec_id")
+    emb = _emb_ds(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    head = t.sort_by("vec_id")
     q_mat = np.array(head["embedding"].to_pylist(), dtype=np.float64)
     return ann.cosine_topk_batch(
         emb, head["vec_id"].to_numpy(), q_mat, k=10, exclude_self=True
@@ -525,7 +540,7 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     """IVF with a full probe set degrades to exact — which makes the whole
     IVF machinery (sampled k-means, cluster assignment, probe filtering)
     driver-checkable against the exact SQL oracle."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_ds(sf_dir)
     return ann.ivf_topk(
         emb, _query_vec(sf_dir, 0), k=10, nlist=16, nprobe=16, exclude=0
     )
@@ -536,7 +551,7 @@ def q_ann_lsh_full(sf_dir: str) -> pa.Table:
     bucketing machinery (seeded hyperplanes, per-table codes, probe-set
     candidate filter) driver-checkable against the exact SQL oracle,
     mirroring ``ann_ivf_full``."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_ds(sf_dir)
     return ann.lsh_topk(
         emb, _query_vec(sf_dir, 0), k=10, n_planes=6, n_tables=2,
         probe_hamming=6, exclude=0,
@@ -544,7 +559,7 @@ def q_ann_lsh_full(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_ds(sf_dir)
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
 
 
