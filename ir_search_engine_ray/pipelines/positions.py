@@ -309,11 +309,22 @@ def build_positions(
 def positions_available(out_dir: str | Path) -> bool:
     """True iff a positions sidecar exists AND matches the index's current
     fingerprint (a stale sidecar — e.g. after an append without a refresh —
-    reads as absent, never as silently-wrong)."""
+    reads as absent, never as silently-wrong; staleness is logged so the
+    auto-mode fallback to the re-tokenize verify is visible)."""
     out = Path(out_dir)
     if not (out / "positions" / "_SUCCESS").exists():
         return False
-    return stage_complete(out / "positions", index_fingerprint(out)) is not None
+    if stage_complete(out / "positions", index_fingerprint(out)) is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "positional sidecar under %s is STALE (index changed since it "
+            "was built) — phrase verify falls back to the candidate "
+            "re-tokenize; run build_positions(out_dir) to refresh",
+            out / "positions",
+        )
+        return False
+    return True
 
 
 @ray.remote
