@@ -40,6 +40,7 @@ from ..extras import (
     ann,
     decontam,
     dedup,
+    fuzzy,
     joins,
     packing,
     pii,
@@ -289,6 +290,63 @@ def _pick_phrases(sf_dir: str) -> list[str]:
     ]
     _PHRASE_MEMO[sf_dir] = phrases
     return phrases
+
+
+_FUZZY_MEMO: dict[str, list[str]] = {}
+
+# one probe per source rank: spread the misspellings across head terms so
+# several neighborhood sizes are exercised
+_FUZZY_SPECS = (0, 1, 2, 3)
+_FUZZY_EDITS = 1
+
+
+def _fuzzy_probes(sf_dir: str) -> list[str]:
+    """Deterministic fixture probes: the most frequent simple-mode terms of
+    length >= 6 over the first 2,000 fixture docs (count desc, term asc),
+    each misspelled by deleting its middle character — guaranteed distance
+    1 from a real head term, so every probe has at least one match."""
+    got = _FUZZY_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    t = pq.read_table(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pipe = _PIPES.setdefault("simple", TokenPipeline("simple"))
+    counts: Counter[str] = Counter()
+    for text in t["text"].to_pylist()[:2000]:
+        for tok in pipe(text):
+            if len(tok) >= 6:
+                counts[tok] += 1
+    if not counts:
+        raise ValueError(
+            f"{sf_dir}: no simple-mode term of length >= 6 in the first "
+            "2,000 docs — corpus too small for the fuzzy fixtures"
+        )
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    probes: list[str] = []
+    for rank in _FUZZY_SPECS:
+        term = ranked[min(rank, len(ranked) - 1)][0]
+        if rank == 0:
+            probe = term  # unmutated: exercises the dist=0 row too
+        else:
+            mid = len(term) // 2
+            probe = term[:mid] + term[mid + 1 :]
+        if probe not in probes:
+            probes.append(probe)
+    _FUZZY_MEMO[sf_dir] = probes
+    return probes
+
+
+def q_fuzzy_terms(sf_dir: str) -> ray.data.Dataset:
+    """SymSpell deletion-neighborhood lookup of deterministic misspellings
+    against the fixture vocabulary (exact: hash candidates are
+    Levenshtein-verified, so DuckDB ``levenshtein()`` is the oracle)."""
+    return fuzzy.fuzzy_vocab_lookup(
+        q_df_simple(sf_dir), _fuzzy_probes(sf_dir), max_edits=_FUZZY_EDITS
+    )
 
 
 def _phrase_table(sf_dir: str, eng: QueryEngine) -> pa.Table:
@@ -1361,6 +1419,13 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
         # identical SQL: the sidecar changes the verify mechanism, not the
         # semantics — the oracle asserts exactly that
         "phrase_positions": phrase_sql,
+        "fuzzy_terms": f"""
+WITH {_sql_tokens_cte(fx)},
+probes(query) AS (VALUES {", ".join(f"('{p}')" for p in _fuzzy_probes(sf_dir))})
+SELECT p.query AS query, d.term AS term,
+       levenshtein(p.query, d.term) AS dist, d.df AS df
+FROM probes p JOIN df d ON levenshtein(p.query, d.term) <= {_FUZZY_EDITS}
+""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
@@ -1871,4 +1936,5 @@ def build_queries() -> dict:
         "doclen_quantiles_by_lang": q_doclen_quantiles_by_lang,
         "tfidf_postings": q_tfidf_postings,
         "ann_lsh_full": q_ann_lsh_full,
+        "fuzzy_terms": q_fuzzy_terms,
     }

@@ -2231,3 +2231,93 @@ class TestAdviceR3Fixes:
             aggregates.tfidf_postings(docs)
         with pytest.raises(ValueError, match="n_docs >= 2"):
             aggregates.tfidf_postings(_docs_ds(CORPUS), n_docs=1)
+
+
+class TestFuzzy:
+    """SymSpell deletion-neighborhood lookup (extras/fuzzy.py)."""
+
+    @staticmethod
+    def _naive_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def test_lev_leq_matches_naive(self):
+        from ir_search_engine_ray.extras.fuzzy import lev_leq
+
+        words = ["", "a", "ab", "abc", "abcd", "bacd", "abxd", "xabcd",
+                 "abd", "dcba", "abcde", "aabbcc", "kitten", "sitting"]
+        for a in words:
+            for b in words:
+                true = self._naive_lev(a, b)
+                for d in (1, 2, 3):
+                    got = lev_leq(a, b, d)
+                    if true <= d:
+                        assert got == true, (a, b, d)
+                    else:
+                        assert got is None, (a, b, d)
+
+    def test_lookup_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import fuzzy
+
+        vocab_terms = [
+            "model", "modal", "mode", "models", "modelz", "cat", "cart",
+            "chart", "thermal", "termal", "theral", "boundary", "boundry",
+        ]
+        vocab = ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array(vocab_terms, type=pa.string()),
+                    "df": pa.array(
+                        list(range(1, len(vocab_terms) + 1)), type=pa.int64()
+                    ),
+                }
+            )
+        ).repartition(3)
+        probes = ["model", "thermal", "boundury"]
+        for d in (1, 2):
+            out = fuzzy.fuzzy_vocab_lookup(vocab, probes, max_edits=d).to_pandas()
+            got = {
+                (r["query"], r["term"]): (r["dist"], r["df"])
+                for _, r in out.iterrows()
+            }
+            want = {}
+            for q in probes:
+                for ti, t in enumerate(vocab_terms, 1):
+                    dist = self._naive_lev(q, t)
+                    if dist <= d:
+                        want[(q, t)] = (dist, ti)
+            assert got == want, f"d={d}"
+
+    def test_lookup_empty_and_validation(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import fuzzy
+
+        vocab = ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array(["zzzzzzzz"], type=pa.string()),
+                    "df": pa.array([1], type=pa.int64()),
+                }
+            )
+        )
+        out = fuzzy.fuzzy_vocab_lookup(vocab, ["cat"], max_edits=1)
+        # schema survives an all-empty result (ray's to_pandas drops the
+        # columns of a fully empty dataset, so assert on the dataset schema)
+        assert out.schema().names == ["query", "term", "dist", "df"]
+        assert out.count() == 0
+        with pytest.raises(ValueError, match="non-empty"):
+            fuzzy.fuzzy_vocab_lookup(vocab, [], max_edits=1)
+        with pytest.raises(ValueError, match="distinct"):
+            fuzzy.fuzzy_vocab_lookup(vocab, ["a", "a"], max_edits=1)
+        with pytest.raises(ValueError, match="max_edits"):
+            fuzzy.fuzzy_vocab_lookup(vocab, ["a"], max_edits=0)

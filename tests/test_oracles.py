@@ -95,6 +95,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "topk_w2_filtered",
         "doclen_quantiles_by_lang",
         "tfidf_postings",
+        "fuzzy_terms",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
