@@ -123,9 +123,11 @@ def _cmd_query(args) -> None:
     _ensure_ray()
     eng = _engine(args)
     filters = _parse_filters(args.filter)
+    if args.slop and not args.phrase:
+        raise SystemExit("--slop requires --phrase")
     if args.phrase:
         rows = eng.phrase_query(args.text, args.scheme, args.k,
-                                filters=filters)
+                                filters=filters, slop=args.slop)
     elif args.explain:
         rows = eng.explain(args.text, args.scheme, args.k)
     else:
@@ -423,6 +425,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="include per-term score contributions")
     q.add_argument("--phrase", action="store_true",
                    help="match the text as a contiguous normalized phrase")
+    q.add_argument("--slop", type=int, default=0, metavar="N",
+                   help="with --phrase: allow the terms (in order) to span "
+                        "up to N extra token positions (0 = contiguous)")
     q.set_defaults(fn=_cmd_query)
 
     bq = sub.add_parser("batch-query", help="parquet query set -> JSON lines")

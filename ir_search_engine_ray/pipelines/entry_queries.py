@@ -292,6 +292,90 @@ def _pick_phrases(sf_dir: str) -> list[str]:
     return phrases
 
 
+_PROX_MEMO: dict[str, list[tuple[list[str], int]]] = {}
+
+# (source doc rank among qualifying docs, token indices, slop): each spec's
+# terms come from ONE doc at the given stream positions, so the spec's slop
+# (chosen as exactly the span slack) guarantees at least the source doc
+# matches — and a tighter slop would reject that occurrence
+_PROX_SPECS = ((0, (2, 4), 1), (10, (1, 4), 2), (50, (2, 4, 6), 2))
+
+
+def _pick_prox(sf_dir: str) -> list[tuple[list[str], int]]:
+    """Deterministic proximity specs: the i-th qualifying doc (doc_id
+    order, >= 8 simple-mode terms) contributes the tokens at the spec's
+    stream positions plus the spec's slop."""
+    got = _PROX_MEMO.get(sf_dir)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pipe = _PIPES.setdefault("simple", TokenPipeline("simple"))
+    min_len = max(max(ix) for _r, ix, _s in _PROX_SPECS) + 2
+    need_rank = max(r for r, _ix, _s in _PROX_SPECS)
+    qualifying: list[list[str]] = []
+    for text in t["text"].to_pylist():
+        toks = pipe(text)
+        if len(toks) >= min_len:
+            qualifying.append(toks)
+            if len(qualifying) > need_rank:
+                break
+    if not qualifying:
+        raise ValueError(
+            f"{sf_dir}: no document has >= {min_len} simple-mode tokens "
+            "— corpus too small for the proximity fixtures"
+        )
+    specs = [
+        ([qualifying[min(r, len(qualifying) - 1)][i] for i in ix], slop)
+        for r, ix, slop in _PROX_SPECS
+    ]
+    _PROX_MEMO[sf_dir] = specs
+    return specs
+
+
+def _prox_table(sf_dir: str, eng: QueryEngine) -> pa.Table:
+    pids, docs, scores = [], [], []
+    for pid, (terms, slop) in enumerate(_pick_prox(sf_dir)):
+        for r in eng.proximity_query(" ".join(terms), slop, "w2", 10):
+            pids.append(pid)
+            docs.append(r["doc_id"])
+            scores.append(round(r["score"], 6))
+    return pa.table(
+        {
+            "prox_id": pa.array(pids, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )
+
+
+def q_proximity_simple(sf_dir: str) -> pa.Table:
+    """Ordered sloppy-phrase search (terms in order within a span of
+    ``len(terms) + slop`` positions), simple mode, via the candidate
+    RE-TOKENIZE verify (``use_positions=False`` pins that path)."""
+    meta = cached_index(sf_dir, "simple")
+    eng = QueryEngine(
+        meta, QueryConfig(scheme="w2", top_k=10, use_positions=False)
+    )
+    return _prox_table(sf_dir, eng)
+
+
+def q_proximity_positions(sf_dir: str) -> pa.Table:
+    """Same proximity specs, same oracle — verified through the positional
+    sidecar's greedy earliest-successor chains (positions.chain_spans)."""
+    from .positions import build_positions
+
+    meta = cached_index(sf_dir, "simple")
+    build_positions(meta.out_dir)
+    eng = QueryEngine(
+        meta, QueryConfig(scheme="w2", top_k=10, use_positions=True)
+    )
+    return _prox_table(sf_dir, eng)
+
+
 _FUZZY_MEMO: dict[str, list[str]] = {}
 
 # one probe per source rank: spread the misspellings across head terms so
@@ -1016,6 +1100,41 @@ ph AS (
     return _sql_restricted_topk(fx, phrase, restrict, k)
 
 
+def _sql_proximity_simple(
+    fx: str, terms: list[str], slop: int, k: int = 10
+) -> str:
+    """Oracle for ordered sloppy-phrase search: w2 bag scoring restricted
+    to docs where the terms appear IN ORDER with total span at most
+    ``len(terms) - 1 + slop`` token positions — an n-way self-join over the
+    positioned token stream (exists-semantics, mirroring the engine's
+    minimal-span greedy chain exactly)."""
+    n = len(terms)
+    stop = STOPWORDS_SQL_LIST
+    joins = "\n  ".join(
+        f"JOIN ptok p{j} ON p{j}.doc_id = p1.doc_id "
+        f"AND p{j}.term = '{terms[j - 1]}' AND p{j}.pos > p{j - 1}.pos"
+        for j in range(2, n + 1)
+    )
+    restrict = f"""pts AS (
+  SELECT doc_id,
+         list_filter(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> ''),
+           x -> x NOT IN {stop}) AS fts
+  FROM docs
+),
+ptok AS (
+  SELECT doc_id, unnest(fts) AS term, generate_subscripts(fts, 1) AS pos
+  FROM pts
+),
+ph AS (
+  SELECT DISTINCT p1.doc_id FROM ptok p1
+  {joins}
+  WHERE p1.term = '{terms[0]}' AND p{n}.pos - p1.pos <= {n - 1 + slop}
+)"""
+    return _sql_restricted_topk(fx, " ".join(terms), restrict, k)
+
+
 def _sql_boolean_simple(
     fx: str, must: list[str], must_not: list[str], k: int = 10
 ) -> str:
@@ -1419,6 +1538,14 @@ SELECT (SELECT count(*) FROM docs) AS n_docs,
         # identical SQL: the sidecar changes the verify mechanism, not the
         # semantics — the oracle asserts exactly that
         "phrase_positions": phrase_sql,
+        "proximity_simple": (prox_sql := "\nUNION ALL\n".join(
+            f"SELECT {pid}::BIGINT AS prox_id, doc_id, score FROM ("
+            + _sql_proximity_simple(fx, terms, slop)
+            + ")"
+            for pid, (terms, slop) in enumerate(_pick_prox(sf_dir))
+        )),
+        # identical SQL again: sidecar chains vs re-tokenize chains
+        "proximity_positions": prox_sql,
         "fuzzy_terms": f"""
 WITH {_sql_tokens_cte(fx)},
 probes(query) AS (VALUES {", ".join(f"('{p}')" for p in _fuzzy_probes(sf_dir))})
@@ -1937,4 +2064,6 @@ def build_queries() -> dict:
         "tfidf_postings": q_tfidf_postings,
         "ann_lsh_full": q_ann_lsh_full,
         "fuzzy_terms": q_fuzzy_terms,
+        "proximity_simple": q_proximity_simple,
+        "proximity_positions": q_proximity_positions,
     }

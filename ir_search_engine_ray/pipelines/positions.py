@@ -354,21 +354,56 @@ def _read_term_positions(
     return t.filter(pa.array((d >= cand_lo) & (d <= cand_hi)))
 
 
+_POS_MASK = np.int64(0xFFFFFFFF)
+
+
+def chain_spans(
+    term_keys_seq: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy earliest-successor chains across per-term SORTED key arrays
+    (key = ``rank << 32 | pos``): for every occurrence of term 0, follow
+    each subsequent term to its smallest strictly-later position in the
+    same doc.  Returns the (start_keys, end_keys) of chains that complete.
+
+    For a fixed start, taking the earliest valid successor at every step
+    minimizes the end position (the successor map is monotone), so the
+    greedy end is the MINIMAL span over all ordered occurrences from that
+    start — which makes ``span <= bound`` an exact existence test for the
+    sloppy-phrase predicate."""
+    S_start = term_keys_seq[0]
+    S_cur = S_start
+    empty = np.empty(0, dtype=np.int64)
+    for keys in term_keys_seq[1:]:
+        if S_cur.size == 0 or keys.size == 0:
+            return empty, empty
+        i = np.searchsorted(keys, S_cur + 1, side="left")
+        ok = i < keys.size
+        succ = keys[np.minimum(i, keys.size - 1)]
+        ok &= (succ >> np.int64(32)) == (S_cur >> np.int64(32))
+        S_start, S_cur = S_start[ok], succ[ok]
+    return S_start, S_cur
+
+
 def verify_phrase_positions(
     out_dir: str | Path,
     range_size: int,
     cand: np.ndarray,
     terms: list[str],
+    slop: int = 0,
 ) -> np.ndarray:
     """Candidate docs (sorted, each containing every phrase term) that hold
-    the terms as a CONTIGUOUS run, resolved from the positional sidecar —
-    O(phrase postings within candidates), no corpus read.
+    the terms as a CONTIGUOUS run (``slop=0``) or an ORDERED run whose span
+    exceeds the phrase length by at most ``slop`` positions, resolved from
+    the positional sidecar — O(phrase postings within candidates), no
+    corpus read.
 
-    Adjacency chain, fully vectorized: encode each (doc, position) as one
-    int64 key ``rank(doc) << 32 | pos``; start from term 0's keys and at
-    step j keep ``key+1`` iff present in term j's sorted keys (one
+    slop=0 adjacency chain, fully vectorized: encode each (doc, position)
+    as one int64 key ``rank(doc) << 32 | pos``; start from term 0's keys
+    and at step j keep ``key+1`` iff present in term j's sorted keys (one
     searchsorted membership probe per step).  Surviving keys' doc ranks are
-    the phrase docs."""
+    the phrase docs.  slop>0 uses the same keys through
+    :func:`chain_spans` (earliest-successor chains, exact by the
+    minimal-span argument there)."""
     pos_dir = Path(out_dir) / "positions"
     uniq_terms = sorted(set(terms))
     salts = np.unique(cand // range_size)
@@ -405,6 +440,14 @@ def verify_phrase_positions(
     row_term = np.repeat(t_arr, row_lens)
     for t in uniq_terms:
         term_keys[t] = np.sort(all_keys[row_term == t])
+    empty = np.empty(0, dtype=np.int64)
+    if slop > 0:
+        starts, ends = chain_spans([term_keys.get(t, empty) for t in terms])
+        if starts.size == 0:
+            return empty
+        span = (ends & _POS_MASK) - (starts & _POS_MASK)
+        hit = starts[span <= len(terms) - 1 + slop]
+        return cand[np.unique(hit >> np.int64(32))]
     S = term_keys.get(terms[0], np.empty(0, dtype=np.int64))
     for t in terms[1:]:
         if S.size == 0:

@@ -596,6 +596,7 @@ class QueryEngine:
         *,
         max_candidates: int = 1_000_000,
         filters: dict | None = None,
+        slop: int = 0,
     ) -> list[dict]:
         """Phrase search without a positional index: candidate docs are the
         AND-intersection of the phrase terms' postings (per shard actor,
@@ -604,6 +605,13 @@ class QueryEngine:
         pruned to candidate conversations) and checks for the terms as a
         CONTIGUOUS run; verified docs are scored with the same normalized
         cosine scoring as :meth:`query` and top-k ranked.
+
+        ``slop > 0`` relaxes contiguity to the ORDERED sloppy-phrase
+        predicate: the terms must appear in order within a window of
+        ``len(terms) + slop`` token positions (span minus the phrase
+        length at most ``slop``); ``slop=0`` is exactly the contiguous
+        phrase.  Both verify mechanisms (positional sidecar and candidate
+        re-tokenize) implement the same predicate.
 
         Matching is over the INDEX TERM stream — stopwords removed and (in
         full mode) Porter applied — i.e. "boundary layers" matches
@@ -636,15 +644,18 @@ class QueryEngine:
                 f"{cand.size} phrase candidates exceed max_candidates="
                 f"{max_candidates}; refine the phrase"
             )
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         if len(terms) > 1:
             if self._use_positions():
                 from .positions import verify_phrase_positions
 
                 cand = verify_phrase_positions(
-                    self.meta.out_dir, self.meta.range_size, cand, terms
+                    self.meta.out_dir, self.meta.range_size, cand, terms,
+                    slop=slop,
                 )
             else:
-                cand = self._verify_phrase(cand, terms)
+                cand = self._verify_phrase(cand, terms, slop=slop)
             if cand.size == 0:
                 return []
         # exact cosine scores for the verified docs (same math as query())
@@ -761,8 +772,29 @@ class QueryEngine:
             )
         return got
 
-    def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
-        """Distributed contiguous-run check over ONLY the candidate docs."""
+    def proximity_query(
+        self,
+        text: str,
+        slop: int,
+        scheme: str | None = None,
+        k: int | None = None,
+        *,
+        max_candidates: int = 1_000_000,
+        filters: dict | None = None,
+    ) -> list[dict]:
+        """Ordered sloppy-phrase search: :meth:`phrase_query` with the
+        contiguity requirement relaxed to a span allowance of ``slop``
+        extra token positions (Lucene-style ordered slop)."""
+        return self.phrase_query(
+            text, scheme, k,
+            max_candidates=max_candidates, filters=filters, slop=slop,
+        )
+
+    def _verify_phrase(
+        self, cand: np.ndarray, terms: list[str], slop: int = 0
+    ) -> np.ndarray:
+        """Distributed contiguous-run (``slop=0``) or ordered-sloppy-run
+        check over ONLY the candidate docs."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import ray.data
@@ -807,11 +839,28 @@ class QueryEngine:
             if size < n:
                 return pa.table({"doc_id": pa.array([], type=pa.int64())})
             arr = np.array(flat, dtype=np.str_)
+            doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            if slop > 0:
+                # same keys + greedy chain as the positional sidecar path
+                from .positions import _POS_MASK, chain_spans
+
+                starts_off = np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                pos_in_doc = np.arange(size, dtype=np.int64) - starts_off
+                keys = (doc_of << np.int64(32)) | pos_in_doc
+                seq = [keys[arr == t] for t in phrase]  # each sorted
+                s_keys, e_keys = chain_spans(seq)
+                span = (e_keys & _POS_MASK) - (s_keys & _POS_MASK)
+                ok = s_keys[span <= n - 1 + slop]
+                hit = np.unique(ok >> np.int64(32))
+                return pa.table(
+                    {"doc_id": pa.array(doc_ids[hit], type=pa.int64())}
+                )
             nwin = size - n + 1
             m = arr[:nwin] == phrase[0]
             for j in range(1, n):
                 m &= arr[j : nwin + j] == phrase[j]
-            doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
             if n > 1:  # window must start and end inside the same doc
                 m &= doc_of[:nwin] == doc_of[n - 1 :]
             hit = np.unique(doc_of[:nwin][m])

@@ -96,6 +96,8 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "doclen_quantiles_by_lang",
         "tfidf_postings",
         "fuzzy_terms",
+        "proximity_simple",
+        "proximity_positions",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):

@@ -35,18 +35,19 @@ def _phrases_from(corpus_dir: Path, mode: str, n: int = 3) -> list[str]:
     return got + [f"{dup} {dup}", "zzznomatch qqqnomatch"]
 
 
+@pytest.fixture(scope="module")
+def pos_built(ray_session, corpus):
+    from ir_search_engine_ray.pipelines import positions
+    from ir_search_engine_ray.pipelines.index_build import build_index
+
+    shutil.rmtree(POS_OUT, ignore_errors=True)
+    meta = build_index(str(corpus / "transcripts"), POS_OUT, concurrency=2)
+    # tiny row groups so the term-stat row-group pruning actually prunes
+    marker = positions.build_positions(POS_OUT, row_group_size=64)
+    return meta, marker
+
+
 class TestPositions:
-    @pytest.fixture(scope="class")
-    def pos_built(self, ray_session, corpus):
-        from ir_search_engine_ray.pipelines import positions
-        from ir_search_engine_ray.pipelines.index_build import build_index
-
-        shutil.rmtree(POS_OUT, ignore_errors=True)
-        meta = build_index(str(corpus / "transcripts"), POS_OUT, concurrency=2)
-        # tiny row groups so the term-stat row-group pruning actually prunes
-        marker = positions.build_positions(POS_OUT, row_group_size=64)
-        return meta, marker
-
     def test_marker_and_files(self, pos_built):
         meta, marker = pos_built
         n_salts = -(-meta.N // meta.range_size)
@@ -357,3 +358,126 @@ class TestPositionsBatchTable:
             zip(out["term"].to_pylist(), out["doc_id"].to_pylist())
         )
         assert keys == sorted(keys)
+
+
+class TestProximity:
+    """Ordered sloppy-phrase search: slop=0 is the contiguous phrase; both
+    verify mechanisms implement the same minimal-span greedy predicate."""
+
+    @staticmethod
+    def _ref_matches(toks, terms, slop):
+        """Pure-Python reference predicate: exists ordered occurrence with
+        span <= len(terms) - 1 + slop (greedy min-span per start)."""
+        import bisect
+
+        n = len(terms)
+        poss = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in poss):
+            return False
+        for i1 in poss[0]:
+            cur, ok = i1, True
+            for j in range(1, n):
+                nxt = bisect.bisect_right(poss[j], cur)
+                if nxt == len(poss[j]):
+                    ok = False
+                    break
+                cur = poss[j][nxt]
+            if ok and cur - i1 <= n - 1 + slop:
+                return True
+        return False
+
+    def test_chain_spans_matches_brute(self):
+        from ir_search_engine_ray.pipelines.positions import (
+            _POS_MASK,
+            chain_spans,
+        )
+
+        rng = np.random.default_rng(7)
+        vocab = list("abcde")
+        for trial in range(150):
+            docs = {
+                d: [vocab[i] for i in rng.integers(0, 5, rng.integers(3, 12))]
+                for d in range(6)
+            }
+            n = int(rng.integers(2, 4))
+            terms = [vocab[i] for i in rng.integers(0, 5, n)]
+            slop = int(rng.integers(0, 4))
+            seq = []
+            for q in terms:
+                ks = [
+                    (d << 32) | i
+                    for d, toks in docs.items()
+                    for i, t in enumerate(toks)
+                    if t == q
+                ]
+                seq.append(np.array(sorted(ks), dtype=np.int64))
+            s, e = chain_spans(seq)
+            span = (e & _POS_MASK) - (s & _POS_MASK)
+            got = set((s[span <= n - 1 + slop] >> np.int64(32)).tolist())
+            want = {
+                d for d, toks in docs.items()
+                if self._ref_matches(toks, terms, slop)
+            }
+            assert got == want, (trial, terms, slop)
+
+    def test_slop_zero_equals_phrase(self, pos_built, corpus):
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        meta, _ = pos_built
+        for use_pos in (False, True):
+            eng = QueryEngine(
+                meta, QueryConfig(num_actors=2, use_positions=use_pos)
+            )
+            for p in _phrases_from(corpus / "transcripts", meta.mode):
+                assert eng.proximity_query(p, 0) == eng.phrase_query(p), (
+                    use_pos, p,
+                )
+
+    def test_proximity_reference_semantics(self, pos_built, corpus):
+        """Matched doc SET equals the pure-Python predicate over the whole
+        corpus, on BOTH verify paths, across slop values — including a spec
+        whose source occurrence needs slop exactly (rejected one tighter)."""
+        from ir_search_engine_ray.config import QueryConfig
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.textproc import TokenPipeline
+
+        meta, _ = pos_built
+        pipe = TokenPipeline(meta.mode)
+        t = pq.read_table(corpus / "transcripts").sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        streams = [pipe(x) for x in t["text"].to_pylist()]
+        src = next(s for s in streams if len(s) >= 8)
+        specs = [
+            ([src[2], src[4]], 1),          # gap 1: needs slop >= 1
+            ([src[2], src[4]], 0),          # may or may not match elsewhere
+            ([src[1], src[4], src[6]], 2),  # 3 terms, span 5, slack 2
+            ([src[2], src[5]], 3),
+        ]
+        engines = [
+            QueryEngine(meta, QueryConfig(num_actors=2, use_positions=up))
+            for up in (False, True)
+        ]
+        for terms, slop in specs:
+            want = {
+                d for d, toks in enumerate(streams)
+                if self._ref_matches(toks, terms, slop)
+            }
+            for up, eng in zip((False, True), engines):
+                got = {
+                    r["doc_id"]
+                    for r in eng.proximity_query(" ".join(terms), slop,
+                                                 "w2", meta.N)
+                }
+                assert got == want, (up, terms, slop)
+        # the mined gap-1 spec must match its source doc at slop=1 …
+        src_id = streams.index(src)
+        assert src_id in {
+            r["doc_id"]
+            for r in engines[0].proximity_query(
+                f"{src[2]} {src[4]}", 1, "w2", meta.N
+            )
+        }
+        with pytest.raises(ValueError, match="slop"):
+            engines[0].proximity_query("a b", -1)
