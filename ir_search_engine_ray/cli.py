@@ -10,6 +10,7 @@
     python -m ir_search_engine_ray decontam DOCUMENTS.parquet BENCH.parquet OUT
     python -m ir_search_engine_ray pack DOCUMENTS.parquet OUT --max-tokens 2048
     python -m ir_search_engine_ray stats INDEX_DIR [--term flow]
+    python -m ir_search_engine_ray fuzzy INDEX_DIR "probe terms" [--max-edits 2]
     python -m ir_search_engine_ray export INDEX_DIR OUT --format gamma
 
 On a cluster: ``ray job submit --working-dir . -- python -m
@@ -339,6 +340,29 @@ def _cmd_export(args) -> None:
     print(json.dumps(export_legacy_index(meta, args.out, args.format)))
 
 
+def _cmd_fuzzy(args) -> None:
+    """SymSpell fuzzy lookup of probe terms against the index vocabulary —
+    the index's df parts are exactly the (term, df) table the lookup
+    streams, so this is a map-only scan of the lexicon, never the corpus."""
+    _ensure_ray()
+    from pathlib import Path
+
+    import ray.data
+
+    from .extras.fuzzy import fuzzy_vocab_lookup
+
+    vocab = ray.data.read_parquet(str(Path(args.index_dir) / "df"))
+    out = fuzzy_vocab_lookup(
+        vocab, args.terms.split(), max_edits=args.max_edits
+    )
+    rows = sorted(
+        out.take_all(),
+        key=lambda r: (r["query"], r["dist"], -r["df"], r["term"]),
+    )
+    for r in rows:
+        print(json.dumps(r))
+
+
 def _cmd_stats(args) -> None:
     """Index inspection (the reference's stats.md surface): collection
     stats, optionally one term's df/tf and coded size."""
@@ -515,6 +539,16 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--overwrite", action="store_true")
     pk.set_defaults(fn=_cmd_pack)
+
+    fz = sub.add_parser(
+        "fuzzy",
+        help="fuzzy vocabulary lookup: spell-correct probe terms against "
+             "the index lexicon (SymSpell deletion neighborhood)",
+    )
+    fz.add_argument("index_dir")
+    fz.add_argument("terms", help="space-separated probe terms")
+    fz.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
+    fz.set_defaults(fn=_cmd_fuzzy)
 
     st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
     st.add_argument("index_dir")

@@ -2321,3 +2321,33 @@ class TestFuzzy:
             fuzzy.fuzzy_vocab_lookup(vocab, ["a", "a"], max_edits=1)
         with pytest.raises(ValueError, match="max_edits"):
             fuzzy.fuzzy_vocab_lookup(vocab, ["a"], max_edits=0)
+
+    def test_cli_fuzzy_over_index_lexicon(self, ray_session, built, capsys):
+        """The fuzzy CLI verb streams the index's df parts as the
+        vocabulary: a one-deletion misspelling of an indexed term recovers
+        it; garbage probes return nothing."""
+        import argparse
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.cli import _cmd_fuzzy
+
+        df_t = pq.read_table(str(built.out_dir) + "/df")
+        term = next(
+            t for t in df_t["term"].to_pylist() if len(t) >= 5
+        )
+        probe = term[:2] + term[3:]  # delete char 2
+        _cmd_fuzzy(
+            argparse.Namespace(
+                index_dir=str(built.out_dir),
+                terms=f"{probe} qqqqzzzz",
+                max_edits=1,
+            )
+        )
+        rows = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert any(r["query"] == probe and r["term"] == term for r in rows)
+        assert all(r["query"] != "qqqqzzzz" for r in rows)
