@@ -1,0 +1,205 @@
+"""Exact-substring (span) dedup: k-token grams repeated ACROSS documents.
+
+The dedup family of Lee et al. 2021 ("Deduplicating Training Data Makes
+Language Models Better"): boilerplate, licenses and templated text recur
+as long verbatim token runs across otherwise-distinct documents, which
+whole-document hashing (:mod:`.dedup`) cannot see.  The full suffix-array
+construction is replaced by the shuffle-friendly k-gram formulation: a
+position is duplicated iff the k-gram starting there occurs in at least
+one OTHER document.  Output per affected doc: the number of duplicated
+gram starts and the number of distinct token positions they cover (the
+union of the [pos, pos+k) intervals), which is the quantity a removal
+policy thresholds on.
+
+Shapes (the same discipline as :func:`.dedup.minhash_lsh_pairs`):
+
+1. Gram map — one ``map_batches`` pass: tokens are hashed once per worker
+   (memoized vocabulary dict), the k-gram hash is a rolling polynomial
+   over the batch-FLAT token-hash array (k vector ops per batch, windows
+   crossing doc boundaries masked — no per-doc Python).  Row volume is
+   the corpus token count: the irreducible cost of substring-level dedup
+   in any engine.  The shuffle rows are 24 B (hash, doc, pos) — never
+   text.
+2. Duplicate marking — ``groupby`` on a COARSE partition key
+   (``hash % parts``), one vectorized lexsort + run scan per partition
+   (no per-gram Python callback; the dedup.py lesson).  A gram run is
+   duplicated iff it spans >= 2 distinct docs.
+3. Per-doc rollup — the (doc_id, pos) survivors group on a coarse doc
+   key; counts and interval-union coverage are ``np.add.reduceat`` per
+   doc segment.  Per-doc state is bounded by the doc's token count.
+
+64-bit gram hashing: collision probability ~n_grams^2 / 2^64 — negligible
+at test scale and still < 1e-4 at 10^12 grams; a 100 TB deployment that
+cannot tolerate it should widen to the 128-bit pair construction used by
+:func:`.dedup._text_hash_cols`.  No reference analogue; first-class
+training-data operator per the round brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_TOKEN = re.compile(r"[a-z]+")
+_B = np.uint64(1099511628211)  # FNV-64 prime as the rolling multiplier
+
+_HASH_MEMO: dict[str, np.uint64] = {}
+
+
+def _token_hash(tok: str) -> np.uint64:
+    h = _HASH_MEMO.get(tok)
+    if h is None:
+        h = _HASH_MEMO[tok] = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                           "little")
+        )
+    return h
+
+
+def gram_rows(batch: pa.Table, *, k: int, parts: int) -> pa.Table:
+    """(gram_hash, doc_id, pos, part) rows for every k-gram start in the
+    batch — rolling polynomial over the flat token-hash array."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    tok_lists = [
+        _TOKEN.findall(t.lower()) for t in batch["text"].to_pylist()
+    ]
+    lens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    size = int(lens.sum())
+    empty = pa.table(
+        {
+            "g": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int32()),
+            "part": pa.array([], type=pa.int32()),
+        }
+    )
+    if size < k:
+        return empty
+    flat = np.empty(size, dtype=np.uint64)
+    i = 0
+    for toks in tok_lists:
+        for t in toks:
+            flat[i] = _token_hash(t)
+            i += 1
+    nwin = size - k + 1
+    with np.errstate(over="ignore"):
+        g = np.zeros(nwin, dtype=np.uint64)
+        for j in range(k):
+            g = g * _B + flat[j : nwin + j]
+    row_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    valid = row_of[:nwin] == row_of[k - 1 :]
+    if not valid.any():
+        return empty
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    pos_in_doc = (np.arange(size, dtype=np.int64) - starts)[:nwin][valid]
+    g = g[valid]
+    doc = doc_ids[row_of[:nwin][valid]]
+    return pa.table(
+        {
+            "g": pa.array(g.view(np.int64)),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "pos": pa.array(pos_in_doc.astype(np.int32)),
+            "part": pa.array((g % np.uint64(parts)).astype(np.int32)),
+        }
+    )
+
+
+def _dup_starts(group: pa.Table) -> pa.Table:
+    """One coarse partition (MANY gram hashes) -> the (doc_id, pos) of
+    every gram start whose hash-run spans >= 2 distinct docs."""
+    g = group["g"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    pos = group["pos"].to_numpy()
+    if g.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int32()),
+            }
+        )
+    order = np.lexsort((doc, g))
+    g, doc, pos = g[order], doc[order], pos[order]
+    change = np.flatnonzero(np.diff(g) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [g.size]))
+    run_len = ends - starts
+    dup_run = doc[starts] != doc[ends - 1]  # sorted by doc within run
+    keep = np.repeat(dup_run, run_len)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[keep], type=pa.int64()),
+            "pos": pa.array(pos[keep], type=pa.int32()),
+        }
+    )
+
+
+def _doc_rollup(group: pa.Table, *, k: int) -> pa.Table:
+    """One coarse doc partition -> per-doc (n_dup_spans, dup_tokens):
+    counts and interval-union coverage via reduceat per doc segment."""
+    doc = group["doc_id"].to_numpy()
+    pos = group["pos"].to_numpy().astype(np.int64)
+    if doc.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_dup_spans": pa.array([], type=pa.int64()),
+                "dup_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    order = np.lexsort((pos, doc))
+    doc, pos = doc[order], pos[order]
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(doc) != 0) + 1))
+    n_spans = np.diff(np.concatenate((seg, [doc.size])))
+    # coverage: each start covers min(next_start - start, k) tokens; the
+    # last start of a doc segment covers k
+    nxt = np.empty_like(pos)
+    nxt[:-1] = pos[1:]
+    nxt[-1] = pos[-1] + k
+    contrib = np.minimum(nxt - pos, k)
+    last_idx = np.concatenate((seg[1:], [doc.size])) - 1
+    contrib[last_idx] = k
+    cov = np.add.reduceat(contrib, seg)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[seg], type=pa.int64()),
+            "n_dup_spans": pa.array(n_spans, type=pa.int64()),
+            "dup_tokens": pa.array(cov, type=pa.int64()),
+        }
+    )
+
+
+def exact_span_dedup(
+    docs_ds: ray.data.Dataset, *, k: int = 8, parts: int = 64
+) -> ray.data.Dataset:
+    """Per affected document: how many k-gram starts are shared verbatim
+    with at least one OTHER document, and how many token positions those
+    duplicated spans cover (interval union).  Docs with no cross-doc
+    duplicated gram do not appear."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    grams = docs_ds.map_batches(
+        gram_rows, fn_kwargs={"k": k, "parts": parts}, batch_format="pyarrow"
+    )
+    dup = grams.groupby("part").map_groups(
+        _dup_starts, batch_format="pyarrow"
+    )
+
+    def tag_doc_part(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        return batch.append_column(
+            "dpart", pa.array((d % parts).astype(np.int32))
+        )
+
+    return (
+        dup.map_batches(tag_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(
+            _doc_rollup, fn_kwargs={"k": k}, batch_format="pyarrow"
+        )
+    )

@@ -45,6 +45,7 @@ from ..extras import (
     packing,
     pii,
     semistructured,
+    spans,
     splits,
     textclean,
     textstats,
@@ -904,6 +905,21 @@ def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
 N_CAMPAIGNS = 3
 CAMPAIGN_STEP_US = 24 * windows.HOUR_US  # windows open 1 day apart...
 CAMPAIGN_WIDTH_US = 48 * windows.HOUR_US  # ...and span 2 days: they OVERLAP
+
+
+_SPAN_K = 8
+
+
+def q_span_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact-substring dedup (the Lee et al. k-gram formulation): per doc,
+    the number of 8-gram starts shared verbatim with at least one OTHER
+    doc, and the token positions those spans cover (interval union)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    return spans.exact_span_dedup(docs, k=_SPAN_K)
 
 
 def q_event_campaign_join(sf_dir: str) -> ray.data.Dataset:
@@ -1898,6 +1914,32 @@ CROSS JOIN n
 JOIN r ON r.lang = n.lang
       AND r.rnk = CAST(floor(q.q * (n.n - 1)) AS BIGINT)
 """,
+        "span_dedup": f"""
+WITH sdt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS gram
+  FROM (SELECT doc_id,
+               list_transform(
+                 range(1, len(ts) - {_SPAN_K} + 2),
+                 i -> array_to_string(list_slice(ts, i, i + {_SPAN_K} - 1),
+                                      ' ')) AS gs
+        FROM sdt WHERE len(ts) >= {_SPAN_K})
+),
+dup AS (SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) > 1),
+dstarts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (SELECT doc_id, count(DISTINCT i) AS dup_tokens
+        FROM (SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS i
+              FROM dstarts)
+        GROUP BY doc_id)
+SELECT d.doc_id, count(*) AS n_dup_spans, any_value(cov.dup_tokens) AS dup_tokens
+FROM dstarts d JOIN cov USING (doc_id) GROUP BY d.doc_id
+""",
         "tfidf_postings": """
 WITH toks AS (
   SELECT doc_id,
@@ -2066,4 +2108,5 @@ def build_queries() -> dict:
         "fuzzy_terms": q_fuzzy_terms,
         "proximity_simple": q_proximity_simple,
         "proximity_positions": q_proximity_positions,
+        "span_dedup": q_span_dedup,
     }

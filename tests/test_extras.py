@@ -2351,3 +2351,51 @@ class TestFuzzy:
         ]
         assert any(r["query"] == probe and r["term"] == term for r in rows)
         assert all(r["query"] != "qqqqzzzz" for r in rows)
+
+
+class TestSpanDedup:
+    """Exact-substring (k-gram span) dedup (extras/spans.py)."""
+
+    SHARE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _docs(self):
+        return [
+            (0, "intro words here " + self.SHARE + " tail piece"),
+            (1, "other opening " + self.SHARE + " different ending words"),
+            (2, "totally unrelated content with no overlap at all here"),
+            # exactly the first 8 shared tokens
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            # repeats ITS OWN 8-gram twice but shares with nobody: must
+            # NOT appear (duplication is across distinct docs)
+            (5, "solo run one two three four five six seven eight "
+                "solo run one two three four five six seven eight"),
+        ]
+
+    def test_known_coverage_and_partition_independence(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import spans
+
+        for nb in (1, 4):
+            out = (
+                spans.exact_span_dedup(_docs_ds(self._docs(), nb), k=8)
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+            # docs 0/1 share the 10-token run: 3 8-gram starts, 10 covered
+            got = {
+                r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+                for _, r in out.iterrows()
+            }
+            assert got == {0: (3, 10), 1: (3, 10), 3: (1, 8)}, nb
+
+    def test_validation_and_short_docs(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import spans
+
+        ds = _docs_ds([(0, "too short"), (1, "too short")])
+        # both docs shorter than k: no grams at all
+        assert spans.exact_span_dedup(ds, k=8).count() == 0
+        with pytest.raises(ValueError, match="k must be"):
+            spans.exact_span_dedup(ds, k=1)

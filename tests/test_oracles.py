@@ -98,6 +98,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "fuzzy_terms",
         "proximity_simple",
         "proximity_positions",
+        "span_dedup",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
