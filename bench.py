@@ -250,6 +250,22 @@ def run_main() -> None:
     )
     queries = bench_queries(build["meta"], SF_DIR)
     phrase = bench_phrase(build["meta"], SF_DIR)
+    # info-only (NOT in the headline sum, which stays comparable across
+    # rounds): the round-4 exact-substring dedup over the documents table
+    import ray.data as _rd
+
+    from ir_search_engine_ray.extras import spans as _spans
+
+    t0 = time.perf_counter()
+    _spans.exact_span_dedup(
+        _rd.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=16,
+        ),
+        k=8,
+    ).count()
+    span_dedup_s = time.perf_counter() - t0
     extras_runs = [bench_extras(SF_DIR) for _ in range(reps)]
     extras = {k: min(r[k] for r in extras_runs) for k in extras_runs[0]}
     del t_all
@@ -280,6 +296,7 @@ def run_main() -> None:
         "phrase_positions_s": round(phrase["phrase_positions"], 3),
         "positions_build_s": round(phrase["positions_build"], 3),
         "n_phrase_queries": phrase["n_phrase_queries"],
+        "span_dedup_s": round(span_dedup_s, 3),
     }
     print(json.dumps(result))
     ray.shutdown()

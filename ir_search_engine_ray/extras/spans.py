@@ -81,12 +81,16 @@ def gram_rows(batch: pa.Table, *, k: int, parts: int) -> pa.Table:
     )
     if size < k:
         return empty
-    flat = np.empty(size, dtype=np.uint64)
-    i = 0
-    for toks in tok_lists:
-        for t in toks:
-            flat[i] = _token_hash(t)
-            i += 1
+    # hash once per DISTINCT batch token (Zipf: unique count << size), then
+    # gather — the only per-string Python is over the batch vocabulary
+    flat_tok = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if t]
+    )
+    uniq, inv = np.unique(flat_tok, return_inverse=True)
+    uh = np.fromiter(
+        (_token_hash(u) for u in uniq), dtype=np.uint64, count=uniq.size
+    )
+    flat = uh[inv]
     nwin = size - k + 1
     with np.errstate(over="ignore"):
         g = np.zeros(nwin, dtype=np.uint64)
