@@ -240,3 +240,106 @@ def repetition_signals(batch: pa.Table) -> pa.Table:
             **{k: pa.array(v, type=pa.int64()) for k, v in cols.items()},
         }
     )
+
+
+def unigram_logprob(
+    docs_ds: ray.data.Dataset, *, top_v: int = 65536
+) -> ray.data.Dataset:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    distribution — the deterministic stand-in for a KenLM-style quality
+    filter (fluent text scores near the corpus mean; gibberish and
+    boilerplate-free random strings fall far below it).
+
+    Semantics (locked, mirrored exactly by the SQL oracle): ``p(term) =
+    count / total_tokens`` for the ``top_v`` most frequent terms
+    (count DESC, term ASC — a deterministic cut), ``p = 1 / total_tokens``
+    for everything else (the floor an out-of-vocabulary token pays);
+    score = mean over the doc's tokens of ``ln p``; docs with no tokens
+    are omitted.
+
+    Scale shape: per-batch count combiners -> one vocabulary-sized
+    ``groupby(term)`` -> a vocabulary-sized sort for the top-V cut whose
+    RESULT (``top_v`` rows — bounded by the parameter, not the corpus) is
+    the only driver materialization, broadcast once via ``ray.put`` ->
+    one scoring pass over the docs (np.unique per batch + per-batch-vocab
+    dict probes + reduceat per doc, no per-token Python)."""
+    from ray.data.aggregate import Sum
+
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            cnt.update(_tokens(t))
+        return pa.table(
+            {
+                "term": pa.array(list(cnt.keys()), type=pa.string()),
+                "cnt": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt"))
+    )
+
+    def clean(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": b["term"], "cnt": b["sum(cnt)"].cast(pa.int64())}
+        )
+
+    counts = counts.map_batches(clean, batch_format="pyarrow").materialize()
+    total = counts.sum("cnt")
+    if not total:
+        raise ValueError("corpus has no tokens")
+    top = counts.sort(["cnt", "term"], descending=[True, False]).limit(top_v)
+    vocab: dict[str, float] = {}
+    for r in top.take_all():  # bounded by top_v
+        vocab[r["term"]] = float(np.log(r["cnt"] / total))
+    floor = float(np.log(1.0 / total))
+    vocab_ref = ray.put((vocab, floor))
+
+    def score(batch: pa.Table, *, ref) -> pa.Table:
+        vb, fl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tok_lists = [_tokens(t) for t in batch["text"].to_pylist()]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        keep = lens > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "logprob": pa.array([], type=pa.float64()),
+                }
+            )
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if t]
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        ulp = np.fromiter(
+            (vb.get(u, fl) for u in uniq), dtype=np.float64, count=uniq.size
+        )
+        lp = ulp[inv]
+        lens_k = lens[keep]
+        seg = np.cumsum(lens_k) - lens_k
+        sums = np.add.reduceat(lp, seg)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                "n_tokens": pa.array(lens_k, type=pa.int64()),
+                "logprob": pa.array(
+                    np.round(sums / lens_k, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(
+        score, fn_kwargs={"ref": vocab_ref}, batch_format="pyarrow"
+    )

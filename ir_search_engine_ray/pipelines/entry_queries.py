@@ -908,6 +908,19 @@ CAMPAIGN_WIDTH_US = 48 * windows.HOUR_US  # ...and span 2 days: they OVERLAP
 
 
 _SPAN_K = 8
+_ULP_TOPV = 65536
+
+
+def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    distribution (top-V vocabulary, OOV floor 1/total) — the deterministic
+    LM-quality-filter stand-in."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    return textstats.unigram_logprob(docs, top_v=_ULP_TOPV)
 
 
 def q_span_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -1914,6 +1927,25 @@ CROSS JOIN n
 JOIN r ON r.lang = n.lang
       AND r.rnk = CAST(floor(q.q * (n.n - 1)) AS BIGINT)
 """,
+        "unigram_logprob": f"""
+WITH utoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+ucnt AS (SELECT term, count(*)::BIGINT AS c FROM utoks GROUP BY 1),
+utot AS (SELECT sum(c)::DOUBLE AS t FROM ucnt),
+topv AS (SELECT term, c FROM ucnt ORDER BY c DESC, term LIMIT {_ULP_TOPV}),
+ulp AS (
+  SELECT u.doc_id,
+         CASE WHEN v.term IS NULL THEN ln(1 / (SELECT t FROM utot))
+              ELSE ln(v.c / (SELECT t FROM utot)) END AS l
+  FROM utoks u LEFT JOIN topv v USING (term)
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(l), 6) AS logprob
+FROM ulp GROUP BY doc_id
+""",
         "span_dedup": f"""
 WITH sdt AS (
   SELECT doc_id,
@@ -2109,4 +2141,5 @@ def build_queries() -> dict:
         "proximity_simple": q_proximity_simple,
         "proximity_positions": q_proximity_positions,
         "span_dedup": q_span_dedup,
+        "unigram_logprob": q_unigram_logprob,
     }

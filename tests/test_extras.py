@@ -2399,3 +2399,45 @@ class TestSpanDedup:
         assert spans.exact_span_dedup(ds, k=8).count() == 0
         with pytest.raises(ValueError, match="k must be"):
             spans.exact_span_dedup(ds, k=1)
+
+
+class TestUnigramLogprob:
+    def test_scores_and_oov_floor(self, ray_session):
+        import math
+
+        from ir_search_engine_ray.extras import textstats
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the the the the"),            # all head tokens: highest
+            (2, "qzx wvu jkl"),                # all OOV under a tiny top_v
+            (3, "12345 !!!"),                  # zero tokens: omitted
+        ]
+        # top_v=2 keeps only the 2 most frequent terms ("the", then the
+        # count-1 tie broken by term asc: "cat")
+        out = (
+            textstats.unigram_logprob(_docs_ds(docs, 2), top_v=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert sorted(out.index) == [0, 1, 2]
+        total = 6 + 4 + 3  # tokens of docs 0..2
+        p_the = math.log(6 / total)
+        p_cat = math.log(1 / total)
+        floor = math.log(1 / total)
+        want0 = round((2 * p_the + p_cat + 3 * floor) / 6, 6)
+        assert out.loc[0, "logprob"] == want0
+        assert out.loc[1, "logprob"] == round(p_the, 6)
+        assert out.loc[2, "logprob"] == round(floor, 6)
+        assert out.loc[1, "logprob"] > out.loc[0, "logprob"] > out.loc[
+            2, "logprob"
+        ]
+        assert out.loc[0, "n_tokens"] == 6
+
+    def test_validation(self, ray_session):
+        from ir_search_engine_ray.extras import textstats
+
+        with pytest.raises(ValueError, match="top_v"):
+            textstats.unigram_logprob(_docs_ds([(0, "a b")]), top_v=0)
+        with pytest.raises(ValueError, match="no tokens"):
+            textstats.unigram_logprob(_docs_ds([(0, "123 !!")])).count()

@@ -99,6 +99,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "proximity_simple",
         "proximity_positions",
         "span_dedup",
+        "unigram_logprob",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
