@@ -133,7 +133,7 @@ def _cmd_query(args) -> None:
         rows = eng.explain(args.text, args.scheme, args.k)
     else:
         rows = eng.query(args.text, args.scheme, args.k, args.algorithm,
-                         filters=filters)
+                         filters=filters, fuzzy=args.fuzzy)
     if args.snippet:
         _headlines(eng, rows)
     for r in rows:
@@ -452,6 +452,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--slop", type=int, default=0, metavar="N",
                    help="with --phrase: allow the terms (in order) to span "
                         "up to N extra token positions (0 = contiguous)")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="rewrite out-of-vocabulary query terms to their "
+                        "closest indexed term (edit distance 1) first")
     q.set_defaults(fn=_cmd_query)
 
     bq = sub.add_parser("batch-query", help="parquet query set -> JSON lines")

@@ -466,6 +466,9 @@ class QueryEngine:
             meta.out_dir / "convs.parquet",
             in_memory=self.config.offsets_in_memory,
         )
+        # misspelling -> vocabulary term (or None when nothing is within
+        # max_edits), filled lazily by fuzzy_replacements
+        self._fuzzy_memo: dict[str, str | None] = {}
         files = [str(f) for f in meta.shard_files()]
         if not files:
             raise FileNotFoundError(f"no shards under {meta.out_dir}")
@@ -499,14 +502,60 @@ class QueryEngine:
                 self._df_cache[t] = found.get(t, 0)
         return self._df_cache
 
-    def parse(self, text: str) -> tuple[list[str], np.ndarray, float]:
+    def parse(
+        self, text: str, fuzzy: bool = False
+    ) -> tuple[list[str], np.ndarray, float]:
         """Query terms in first-occurrence order + weights + ||q||
-        (bag-of-words per ``search/Query.java:18-29``)."""
-        q_tfs = Counter(self.pipe(text))
+        (bag-of-words per ``search/Query.java:18-29``).  ``fuzzy=True``
+        first rewrites out-of-vocabulary terms via
+        :meth:`fuzzy_replacements`."""
+        toks = self.pipe(text)
+        if fuzzy and toks:
+            repl = self.fuzzy_replacements(list(dict.fromkeys(toks)))
+            toks = [repl.get(t, t) for t in toks]
+        q_tfs = Counter(toks)
         dfs = self.df_map if self.df_map is not None else self._query_dfs(q_tfs)
         weights, q_norm = query_weights(dict(q_tfs), dfs, self.meta.N)
         terms = list(q_tfs)
         return terms, np.array([weights[t] for t in terms]), q_norm
+
+    def fuzzy_replacements(
+        self, terms: list[str], max_edits: int = 1
+    ) -> dict[str, str]:
+        """For each term ABSENT from the index vocabulary, its closest
+        vocabulary term within ``max_edits`` (min distance, then max df,
+        then term ASC — deterministic); unmatched OOV terms are omitted.
+
+        Each replacement costs one map-only SymSpell scan of the
+        vocabulary-sized df parts (:mod:`..extras.fuzzy`) — a lexicon
+        read, never a corpus read — and is memoized per engine, so a
+        query workload pays per DISTINCT misspelling, not per query."""
+        if self.df_map is not None:
+            dfs: dict[str, int] = self.df_map
+            oov = [t for t in terms if not dfs.get(t)]
+        else:
+            dfs = self._query_dfs(terms)
+            oov = [t for t in terms if not dfs[t]]
+        need = [t for t in oov if t not in self._fuzzy_memo]
+        if need:
+            import ray.data
+
+            from ..extras.fuzzy import fuzzy_vocab_lookup
+
+            vocab = ray.data.read_parquet(str(self.meta.out_dir / "df"))
+            rows = fuzzy_vocab_lookup(vocab, need, max_edits).take_all()
+            best: dict[str, tuple] = {}
+            for r in rows:  # match-sized, never vocabulary-sized
+                key = (r["dist"], -r["df"], r["term"])
+                if r["query"] not in best or key < best[r["query"]][0]:
+                    best[r["query"]] = (key, r["term"])
+            for t in need:
+                self._fuzzy_memo[t] = best[t][1] if t in best else None
+        return {
+            t: self._fuzzy_memo[t]
+            for t in oov
+            if self._fuzzy_memo.get(t) is not None
+        }
 
     def _finish(self, partials, k: int, q_norm: float) -> list[dict]:
         merged = [(doc, s) for part in partials for doc, s in part]
@@ -532,16 +581,20 @@ class QueryEngine:
         k: int | None = None,
         algorithm: str | None = None,
         filters: dict | None = None,
+        fuzzy: bool = False,
     ) -> list[dict]:
         """Top-k; ``filters={"role": "user"}`` (value or collection per
         attribute column) restricts retrieval to matching documents —
         requires an index built with ``IndexConfig(attr_cols=(...))``.
         Scores are unchanged by filtering (cosine norms are per-doc), so
-        the filtered top-k is exactly the allowed subset's ranking."""
+        the filtered top-k is exactly the allowed subset's ranking.
+        ``fuzzy=True`` rewrites out-of-vocabulary query terms to their
+        closest vocabulary term first (:meth:`fuzzy_replacements`); a
+        fully in-vocabulary query is untouched."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
         algorithm = algorithm or self.config.algorithm
-        terms, weights, q_norm = self.parse(text)
+        terms, weights, q_norm = self.parse(text, fuzzy=fuzzy)
         if not terms or q_norm == 0.0:
             return []
         if self.local:

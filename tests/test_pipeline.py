@@ -1352,3 +1352,53 @@ class TestResolverProgressGuard:
 
         with pytest.raises(KeyError):
             res.pair_for_convs(["\U0010fffe_not_a_conv"])
+
+
+class TestFuzzyQueryExpansion:
+    def test_oov_rewrite_matches_corrected_query(
+        self, ray_session, tmp_path
+    ):
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.sources.transcripts import (
+            docs_dir_to_transcripts,
+        )
+
+        docs = {
+            "doc1": "spanwise pressure measurement on the turbine housing",
+            "doc2": "pressure rises across the spanwise station rows",
+            "doc3": "nothing related in this one at all honestly",
+        }
+        for i in range(8):
+            docs[f"fill{i}"] = f"unrelated filler text number {i} aero rig"
+        src = tmp_path / "corpus"
+        src.mkdir()
+        for name, text in docs.items():
+            (src / name).write_text(text)
+        out = docs_dir_to_transcripts(src, tmp_path / "transcripts")
+        meta = build_index(out, tmp_path / "idx", IndexConfig())
+        for df_mem in (True, False):
+            eng = QueryEngine(
+                meta, QueryConfig(num_actors=2, df_in_memory=df_mem)
+            )
+            # "spanwis" is the Porter stem in the index; the misspelling
+            # "spanwize" pipes to "spanwiz" (OOV, distance 1 from it)
+            assert eng.query("spanwize") == [], df_mem
+            assert eng.query("spanwize", fuzzy=True) == eng.query(
+                "spanwise"
+            ), df_mem
+            got = eng.query("spanwize pressure", fuzzy=True)
+            want = eng.query("spanwise pressure")
+            assert got == want and got, df_mem
+            # in-vocabulary queries are untouched by fuzzy
+            assert eng.query("pressure turbine", fuzzy=True) == eng.query(
+                "pressure turbine"
+            ), df_mem
+            # nothing within one edit: still empty, and memoized None
+            assert eng.query("qqqqzzzzxxxx", fuzzy=True) == [], df_mem
+            assert eng.query("qqqqzzzzxxxx", fuzzy=True) == [], df_mem
+            # replacements map is deterministic and memoized
+            repl = eng.fuzzy_replacements(["spanwiz"])
+            assert repl == eng.fuzzy_replacements(["spanwiz"])
+            assert repl["spanwiz"] == "spanwis", df_mem
