@@ -232,6 +232,8 @@ def _cmd_curate(args) -> None:
         min_alpha_ratio=args.min_alpha_ratio,
         lang=None if args.lang == "any" else args.lang,
         jaccard_threshold=args.jaccard,
+        min_logprob=args.min_logprob,
+        max_dup_span_frac=args.max_dup_span_frac,
     )
     out.write_parquet(args.out)
     import pyarrow.parquet as pq
@@ -505,6 +507,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--lang", default="en", help="language gate, or 'any'")
     c.add_argument("--jaccard", type=float, default=0.5,
                    help="near-dup drop threshold")
+    c.add_argument("--min-logprob", type=float, default=None,
+                   help="drop docs whose mean unigram log-probability "
+                        "under the gated corpus falls below this")
+    c.add_argument("--max-dup-span-frac", type=float, default=None,
+                   help="drop docs where cross-doc duplicated 8-gram "
+                        "spans cover more than this token fraction")
     c.add_argument("--overwrite", action="store_true")
     c.set_defaults(fn=_cmd_curate)
 

@@ -114,8 +114,27 @@ def curate(
     min_alpha_ratio: float = MIN_ALPPHA_RATIO,
     lang: str | None = "en",
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    min_logprob: float | None = None,
+    max_dup_span_frac: float | None = None,
+    span_k: int = 8,
 ) -> ray.data.Dataset:
-    """documents -> curated (doc_id, n_tokens, n_pieces), streaming."""
+    """documents -> curated (doc_id, n_tokens, n_pieces), streaming.
+
+    Two opt-in round-4 gates (both ``None`` by default — the driver
+    oracle's staging is unchanged unless enabled):
+
+    - ``min_logprob``: after the quality gate, drop docs whose mean
+      unigram log-probability under the gated corpus's own distribution
+      (:func:`..extras.textstats.unigram_logprob`) falls below the
+      threshold — the LM-quality filter slot.
+    - ``max_dup_span_frac``: after near-dup removal, drop docs where
+      duplicated cross-doc ``span_k``-gram spans
+      (:func:`..extras.spans.exact_span_dedup`) cover more than this
+      fraction of the doc's tokens — the boilerplate-mass gate.  The
+      flag set is computed with a native per-doc Sum aggregate over the
+      tagged union of the accounting and span tables, then applied as
+      the same distributed anti-join as the near-dup drop — still no
+      driver-side id structure anywhere."""
     gated = docs_ds.map_batches(
         quality_lang_gate,
         fn_kwargs={
@@ -125,6 +144,23 @@ def curate(
         },
         batch_format="pyarrow",
     )
+    if min_logprob is not None:
+        from ..extras import textstats as _ts
+
+        # unigram_logprob consumes its input twice (count pass + scoring
+        # pass): cache the gate once for it and the downstream stages
+        gated = gated.materialize()
+        thr = float(min_logprob)
+
+        def low_ids(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.select(["doc_id"]).filter(pc.less(b["logprob"], thr))
+
+        low = _ts.unigram_logprob(gated).map_batches(
+            low_ids, batch_format="pyarrow"
+        )
+        gated = dedup.anti_join_ids(gated, low, on="doc_id", ids_col="doc_id")
     # survivors feed THREE consumers (LSH signatures, the verify's doc
     # side, the anti-join's left side); without materializing, Ray's lazy
     # execution re-runs the gate + dedup shuffle once per consumer.  Blocks
@@ -149,4 +185,49 @@ def curate(
             }
         )
 
-    return kept.map_batches(account, batch_format="pyarrow")
+    if max_dup_span_frac is None:
+        return kept.map_batches(account, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    from ..extras import spans as _spans
+
+    # kept feeds both the accounting and the span scan
+    kept = kept.materialize()
+    accounted = kept.map_batches(account, batch_format="pyarrow")
+    span_stats = _spans.exact_span_dedup(
+        kept.select_columns(["doc_id", "text"]), k=span_k
+    )
+
+    def tag_tok(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_tok": b["n_tokens"], "dup_tok": z}
+        )
+
+    def tag_dup(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_tok": z, "dup_tok": b["dup_tokens"]}
+        )
+
+    merged = (
+        accounted.map_batches(tag_tok, batch_format="pyarrow")
+        .union(span_stats.map_batches(tag_dup, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("n_tok"), Sum("dup_tok"))
+    )
+    frac = float(max_dup_span_frac)
+
+    def flagged_ids(b: pa.Table) -> pa.Table:
+        n = b["sum(n_tok)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b["sum(dup_tok)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = d > frac * np.maximum(n, 1.0)
+        return b.select(["doc_id"]).filter(pa.array(keep))
+
+    flagged = merged.map_batches(flagged_ids, batch_format="pyarrow")
+    return dedup.anti_join_ids(
+        accounted, flagged, on="doc_id", ids_col="doc_id"
+    )

@@ -496,6 +496,62 @@ class TestCurate:
         assert sorted(out["doc_id"]) == [0, 1, 2, 4]
 
 
+    def test_curate_logprob_gate(self, ray_session):
+        """A doc of corpus-unique rare tokens scores far below the docs
+        built from the shared vocabulary and falls to the min_logprob
+        gate; everything else is unchanged."""
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        common = "the quick brown fox jumps over the lazy dog again today"
+        docs = [(i, common) for i in range(6)]
+        # make each doc distinct so exact/near dedup keep them all
+        docs = [(i, f"{t} marker{'x' * (i + 1)}") for i, t in docs]
+        docs.append((9, "zzqj wvrk pltn bgfd xcvm qwer"))  # 6 rare tokens
+        base = curate(
+            _docs_ds(docs, 2), lang=None, jaccard_threshold=1.1,
+            min_tokens=1,
+        ).to_pandas()
+        assert 9 in set(base["doc_id"])
+        # doc 9's tokens are singletons (ln(1/72) ~ -4.28 each) while the
+        # common-vocabulary docs average ~ -2.5: threshold between them
+        gated = curate(
+            _docs_ds(docs, 2), lang=None, jaccard_threshold=1.1,
+            min_tokens=1, min_logprob=-3.5,
+        ).to_pandas()
+        assert 9 not in set(gated["doc_id"])
+        assert sorted(gated["doc_id"]) == sorted(
+            d for d in base["doc_id"] if d != 9
+        )
+
+    def test_curate_span_gate(self, ray_session):
+        """Two docs share a long verbatim block covering most of their
+        tokens; with max_dup_span_frac they both fall, while a doc with a
+        small shared fraction survives."""
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        block = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lamda mu nu xi omicron pi rho sigma tau upsilon")
+        docs = [
+            (0, block + " unique tailzero here"),
+            (1, block + " different tailone words"),
+            # shares only the first 8 tokens: a small fraction of its text
+            (2, "alpha beta gamma delta epsilon zeta eta theta "
+                "plus lots and lots of completely original content "
+                "stretching far beyond the shared prefix block today"),
+            (3, "entirely original document with no overlap whatsoever "
+                "and enough tokens to pass the quality gate fine"),
+        ]
+        base = curate(
+            _docs_ds(docs, 2), lang=None, jaccard_threshold=1.1,
+            min_tokens=1,
+        ).to_pandas()
+        assert sorted(base["doc_id"]) == [0, 1, 2, 3]
+        gated = curate(
+            _docs_ds(docs, 2), lang=None, jaccard_threshold=1.1,
+            min_tokens=1, max_dup_span_frac=0.5,
+        ).to_pandas()
+        assert sorted(gated["doc_id"]) == [2, 3]
+
 class TestHoppingWindows:
     def test_hopping_counts(self, ray_session):
         import ray.data
