@@ -151,7 +151,9 @@ def _cmd_batch_query(args) -> None:
         t["query_id"].to_pylist() if "query_id" in t.schema.names
         else list(range(len(texts)))
     )
-    all_results = eng.query_many(texts, filters=_parse_filters(args.filter))
+    all_results = eng.query_many(
+        texts, filters=_parse_filters(args.filter), fuzzy=args.fuzzy
+    )
     if args.snippet:
         flat = [r for rows in all_results for r in rows]
         _headlines(eng, flat)
@@ -465,6 +467,9 @@ def main(argv: list[str] | None = None) -> None:
     bq.add_argument("--filter", action="append", metavar="COL=VAL[,VAL...]",
                     help="restrict every query to docs matching an "
                          "attribute (index must be built with --attrs)")
+    bq.add_argument("--fuzzy", action="store_true",
+                    help="rewrite out-of-vocabulary query terms to their "
+                         "closest indexed term (edit distance 1) first")
     bq.set_defaults(fn=_cmd_batch_query)
 
     g = sub.add_parser(

@@ -937,14 +937,16 @@ class QueryEngine:
         k: int | None = None,
         algorithm: str | None = None,
         filters: dict | None = None,
+        fuzzy: bool = False,
     ) -> list[list[dict]]:
         """Batch scoring: ONE round-trip per actor for the whole query set
         (throughput path; per-query fan-out is the latency path).  The
-        optional ``filters`` apply to every query in the batch."""
+        optional ``filters`` apply to every query in the batch; ``fuzzy``
+        rewrites OOV terms per query (the memo makes repeats free)."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
         algorithm = algorithm or self.config.algorithm
-        parsed = [self.parse(t) for t in texts]
+        parsed = [self.parse(t, fuzzy=fuzzy) for t in texts]
         live = [
             (i, terms, weights, q_norm)
             for i, (terms, weights, q_norm) in enumerate(parsed)

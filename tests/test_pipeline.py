@@ -1402,3 +1402,9 @@ class TestFuzzyQueryExpansion:
             repl = eng.fuzzy_replacements(["spanwiz"])
             assert repl == eng.fuzzy_replacements(["spanwiz"])
             assert repl["spanwiz"] == "spanwis", df_mem
+            # the batch path applies the same rewrite per query
+            batch = eng.query_many(
+                ["spanwize", "pressure turbine"], fuzzy=True
+            )
+            assert batch[0] == eng.query("spanwise"), df_mem
+            assert batch[1] == eng.query("pressure turbine"), df_mem
