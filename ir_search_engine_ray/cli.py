@@ -208,6 +208,12 @@ def _cmd_dedup(args) -> None:
         out = dedup.verify_jaccard(pairs, docs, threshold=args.threshold)
     elif args.method == "simhash":
         out = dedup.simhash_candidate_pairs(docs, max_hamming=args.max_hamming)
+    elif args.method == "spans":
+        from .extras.spans import exact_span_dedup
+
+        out = exact_span_dedup(
+            docs.select_columns(["doc_id", "text"]), k=args.span_k
+        )
     else:  # clusters
         pairs = dedup.verify_jaccard(
             dedup.minhash_lsh_pairs(docs, dedupe=False), docs, threshold=args.threshold
@@ -492,8 +498,11 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument(
         "--method",
         default="exact",
-        choices=("exact", "exact-normalized", "minhash", "simhash", "clusters"),
+        choices=("exact", "exact-normalized", "minhash", "simhash",
+                 "clusters", "spans"),
     )
+    d.add_argument("--span-k", type=int, default=8,
+                   help="spans method: duplicated-gram length in tokens")
     d.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold (minhash/clusters)")
     d.add_argument("--max-hamming", type=int, default=3)
