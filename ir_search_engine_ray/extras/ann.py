@@ -422,3 +422,96 @@ def lsh_topk(
             "cosine": pa.array(np.round(cos[order], 6)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (dimensionality reduction for embedding storage)
+
+
+def pca_fit(
+    emb_ds: ray.data.Dataset, n_components: int, col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mean, components, n) of a PCA fit over the embedding column.
+
+    Two-moment combine: each batch contributes ``(sum, X^T X, count)`` —
+    dim- and dim^2-sized partials independent of batch row count — which a
+    native Sum aggregate over flattened moment rows reduces; the driver
+    eigendecomposes the dim x dim covariance (embedding dims are hundreds
+    to low thousands: the dim^2 driver work is constant in the corpus).
+    Components carry a deterministic sign convention (the largest-|.|
+    coordinate of each component is positive), so the fit is
+    partitioning-independent.
+    """
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, col)
+        d = x.shape[1]
+        s = x.sum(axis=0)
+        g = x.T @ x
+        row = np.concatenate(([float(x.shape[0])], s, g.ravel()))
+        return pa.table(
+            {
+                "i": pa.array(np.arange(row.size, dtype=np.int64)),
+                "v": pa.array(row),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("i")
+        .sum("v")
+        .take_all()
+    )  # 1 + d + d^2 rows — dimension-sized, never corpus-sized
+    flat = np.empty(len(agg))
+    for r in agg:
+        flat[r["i"]] = r["sum(v)"]
+    n = int(flat[0])
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 rows, got {n}")
+    d = int(round((np.sqrt(4 * (flat.size - 1) + 1) - 1) / 2))
+    s, g = flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+    if n_components < 1 or n_components > d:
+        raise ValueError(f"n_components must be in [1, {d}], got {n_components}")
+    mean = s / n
+    cov = (g - np.outer(s, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (n_components, d)
+    # deterministic sign: flip so each component's largest-|.| coord is +
+    flips = np.sign(comps[np.arange(comps.shape[0]), np.abs(comps).argmax(axis=1)])
+    comps *= flips[:, None]
+    return mean, comps, n
+
+
+def pca_project(
+    emb_ds: ray.data.Dataset,
+    n_components: int,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """``(id_col, projection: list<float64>)`` — each vector centered and
+    projected onto the top principal components.  The fit is one
+    moment-combine pass; the projection is a second map-only pass against
+    the broadcast ``(mean, components)`` pair."""
+    mean, comps, _n = pca_fit(emb_ds, n_components, col)
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table, *, pr) -> pa.Table:
+        m, c = ray.get(pr) if isinstance(pr, ray.ObjectRef) else pr
+        x = _batch_matrix(batch, col)
+        y = (x - m) @ c.T
+        off = np.arange(
+            0, (y.shape[0] + 1) * y.shape[1], y.shape[1], dtype=np.int32
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "projection": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(y.ravel())
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(
+        project, fn_kwargs={"pr": ref}, batch_format="pyarrow"
+    )

@@ -689,6 +689,26 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     )
 
 
+def q_embedding_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA projection of the embeddings table onto the top 8
+    components (moment-combine fit + broadcast project).  NO SQL oracle —
+    an eigendecomposition is not ANSI-SQL-expressible — so the driver
+    records the rows-only check; numerical correctness is pinned by the
+    numpy-equivalence pytest (tests/test_extras.py::TestPCA) instead.
+    Rounded to 6 decimals for a stable row hash."""
+    out = ann.pca_project(_emb_ds(sf_dir), 8).to_pandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    proj = [
+        [round(float(v), 6) for v in row] for row in out["projection"]
+    ]
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "projection": pa.array(proj, type=pa.list_(pa.float64())),
+        }
+    )
+
+
 def q_ann_lsh_full(sf_dir: str) -> pa.Table:
     """LSH with the full probe set degrades to exact — which makes the
     bucketing machinery (seeded hyperplanes, per-table codes, probe-set
@@ -2142,4 +2162,5 @@ def build_queries() -> dict:
         "proximity_positions": q_proximity_positions,
         "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "embedding_pca": q_embedding_pca,
     }

@@ -2497,3 +2497,60 @@ class TestUnigramLogprob:
             textstats.unigram_logprob(_docs_ds([(0, "a b")]), top_v=0)
         with pytest.raises(ValueError, match="no tokens"):
             textstats.unigram_logprob(_docs_ds([(0, "123 !!")])).count()
+
+
+class TestPCA:
+    @staticmethod
+    def _emb_ds(X, num_blocks=1):
+        import ray.data
+
+        n, d = X.shape
+        off = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(X.ravel())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+    def test_projection_matches_numpy(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        rng = np.random.default_rng(42)
+        X = rng.normal(size=(60, 8)) @ np.diag([5, 3, 2, 1, 0.5, 0.2, 0.1, 0.05])
+        # numpy reference with the same sign convention
+        mean = X.mean(axis=0)
+        cov = np.cov(X, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:3]
+        comps = evecs[:, order].T
+        flips = np.sign(
+            comps[np.arange(3), np.abs(comps).argmax(axis=1)]
+        )
+        comps *= flips[:, None]
+        want = (X - mean) @ comps.T
+        for nb in (1, 4):
+            got = (
+                ann.pca_project(self._emb_ds(X, nb), 3)
+                .to_pandas()
+                .sort_values("vec_id", ignore_index=True)
+            )
+            mat = np.vstack(got["projection"].to_numpy())
+            assert np.allclose(mat, want, atol=1e-9), nb
+        # variance concentrates in the leading component
+        v = want.var(axis=0)
+        assert v[0] > v[1] > v[2]
+
+    def test_validation(self, ray_session):
+        from ir_search_engine_ray.extras import ann
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(5, 4))
+        with pytest.raises(ValueError, match="n_components"):
+            ann.pca_fit(self._emb_ds(X), 9)
+        with pytest.raises(ValueError, match=">= 2 rows"):
+            ann.pca_fit(self._emb_ds(X[:1]), 2)
