@@ -350,6 +350,44 @@ def _cmd_export(args) -> None:
     print(json.dumps(export_legacy_index(meta, args.out, args.format)))
 
 
+def _cmd_ann_build(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras.ann_index import build_ann_index
+
+    emb = ray.data.read_parquet(
+        args.embeddings,
+        columns=[args.id_col, "embedding"],
+        override_num_blocks=16,
+    )
+    marker = build_ann_index(
+        emb, args.out, nlist=args.nlist, id_col=args.id_col
+    )
+    print(json.dumps({"out": args.out, **marker}))
+
+
+def _cmd_ann_query(args) -> None:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    _ensure_ray()
+    from .extras.ann_index import AnnIndex
+
+    idx = AnnIndex(args.index_dir)
+    id_col = idx.meta["id_col"]
+    t = pq.read_table(
+        args.embeddings, columns=[id_col, "embedding"],
+        filters=[(id_col, "==", args.vec_id)],
+    )
+    if t.num_rows != 1:
+        raise SystemExit(f"{id_col}={args.vec_id}: {t.num_rows} rows found")
+    q = np.array(t["embedding"][0].as_py(), dtype=np.float64)
+    out = idx.query(q, k=args.k, nprobe=args.nprobe, exclude=args.vec_id)
+    for r in out.to_pylist():
+        print(json.dumps(r))
+
+
 def _cmd_fuzzy(args) -> None:
     """SymSpell fuzzy lookup of probe terms against the index vocabulary —
     the index's df parts are exactly the (term, df) table the lookup
@@ -564,6 +602,29 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--overwrite", action="store_true")
     pk.set_defaults(fn=_cmd_pack)
+
+    ab = sub.add_parser(
+        "ann-build",
+        help="embeddings parquet -> persisted IVF index "
+             "(one directory per cluster; queries read only probed dirs)",
+    )
+    ab.add_argument("embeddings")
+    ab.add_argument("out")
+    ab.add_argument("--nlist", type=int, default=None,
+                    help="cluster count (default ~sqrt(n))")
+    ab.add_argument("--id-col", default="vec_id")
+    ab.set_defaults(fn=_cmd_ann_build)
+
+    aq = sub.add_parser(
+        "ann-query",
+        help="query a persisted IVF index by an existing vector id",
+    )
+    aq.add_argument("index_dir")
+    aq.add_argument("embeddings", help="parquet holding the query vector")
+    aq.add_argument("--vec-id", type=int, required=True)
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=4)
+    aq.set_defaults(fn=_cmd_ann_query)
 
     fz = sub.add_parser(
         "fuzzy",

@@ -2554,3 +2554,73 @@ class TestPCA:
             ann.pca_fit(self._emb_ds(X), 9)
         with pytest.raises(ValueError, match=">= 2 rows"):
             ann.pca_fit(self._emb_ds(X[:1]), 2)
+
+
+class TestAnnIndex:
+    """Persisted IVF index (extras/ann_index.py)."""
+
+    def test_build_query_and_pruning(self, ray_session, tmp_path):
+        import ray.data
+
+        from ir_search_engine_ray.extras import ann
+        from ir_search_engine_ray.extras.ann_index import (
+            AnnIndex,
+            build_ann_index,
+        )
+
+        rng = np.random.default_rng(11)
+        n, d = 200, 16
+        X = rng.normal(size=(n, d))
+        off = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(X.ravel())
+                ),
+            }
+        )
+        emb = ray.data.from_arrow(t).repartition(4)
+        out = tmp_path / "ann"
+        marker = build_ann_index(emb, out, nlist=8)
+        assert marker["n_rows"] == n and marker["nlist"] == 8
+        # one directory per cluster — the pruning unit
+        dirs = sorted(p.name for p in (out / "assign").iterdir())
+        assert all(p.startswith("cluster=") for p in dirs)
+        idx = AnnIndex(out)
+        q = X[3]
+        # full probe == exact brute force
+        assert idx.query(q, k=10, nprobe=8, exclude=3).equals(
+            ann.cosine_topk(emb, q, 10, exclude=3)
+        )
+        # partial probe returns the exact ranking RESTRICTED to the probed
+        # clusters (verified against a manual filter of the same clusters)
+        probe = idx.probe_clusters(q, 2)
+        import pyarrow.parquet as pq
+
+        member = set()
+        for c in probe:
+            cdir = out / "assign" / f"cluster={int(c)}"
+            if cdir.is_dir():
+                member |= set(
+                    pq.read_table(cdir, columns=["vec_id"])[
+                        "vec_id"
+                    ].to_pylist()
+                )
+        got = idx.query(q, k=10, nprobe=2, exclude=3)
+        assert set(got["vec_id"].to_pylist()) <= member
+        restricted = emb.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(
+                    b["vec_id"], value_set=pa.array(sorted(member))
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        assert got.equals(ann.cosine_topk(restricted, q, 10, exclude=3))
+
+    def test_stale_or_missing_marker_refused(self, ray_session, tmp_path):
+        from ir_search_engine_ray.extras.ann_index import AnnIndex
+
+        with pytest.raises(FileNotFoundError, match="_ANN_SUCCESS"):
+            AnnIndex(tmp_path / "nope")
