@@ -22,8 +22,10 @@ import ray.data
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col].combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:  # reshape(0, -1) cannot infer a width
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -280,6 +282,8 @@ def train_centroids(
 
 def assign_clusters(batch: pa.Table, *, cent_ref, id_col: str) -> pa.Table:
     cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    if batch.num_rows == 0:
+        return batch.append_column("cluster", pa.array([], type=pa.int32()))
     mat = _batch_matrix(batch)
     d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     return batch.append_column(
@@ -445,6 +449,13 @@ def pca_fit(
 
     def moments(batch: pa.Table) -> pa.Table:
         x = _batch_matrix(batch, col)
+        if x.shape[0] == 0:  # empty block: contributes nothing
+            return pa.table(
+                {
+                    "i": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.float64()),
+                }
+            )
         d = x.shape[1]
         s = x.sum(axis=0)
         g = x.T @ x
@@ -499,6 +510,15 @@ def pca_project(
     def project(batch: pa.Table, *, pr) -> pa.Table:
         m, c = ray.get(pr) if isinstance(pr, ray.ObjectRef) else pr
         x = _batch_matrix(batch, col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "projection": pa.array(
+                        [], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
         y = (x - m) @ c.T
         off = np.arange(
             0, (y.shape[0] + 1) * y.shape[1], y.shape[1], dtype=np.int32

@@ -2624,3 +2624,25 @@ class TestAnnIndex:
 
         with pytest.raises(FileNotFoundError, match="_ANN_SUCCESS"):
             AnnIndex(tmp_path / "nope")
+
+    def test_empty_blocks_are_harmless(self, ray_session):
+        """Filters can hand the moment/projection/assignment kernels an
+        empty block; they must contribute nothing instead of crashing."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import ann
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(30, 6))
+        ds = TestPCA._emb_ds(X, 4)
+        # an always-false filter produces empty downstream blocks
+        empty = ds.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
+        got = ann.pca_project(ds.union(empty), 2).to_pandas()
+        want = ann.pca_project(ds, 2).to_pandas()
+        got = got.sort_values("vec_id", ignore_index=True)
+        want = want.sort_values("vec_id", ignore_index=True)
+        assert np.allclose(
+            np.vstack(got["projection"]), np.vstack(want["projection"])
+        )
