@@ -695,16 +695,18 @@ def q_embedding_pca(sf_dir: str) -> pa.Table:
     an eigendecomposition is not ANSI-SQL-expressible — so the driver
     records the rows-only check; numerical correctness is pinned by the
     numpy-equivalence pytest (tests/test_extras.py::TestPCA) instead.
-    Rounded to 6 decimals for a stable row hash."""
+    Flattened to scalar pc0..pc7 columns (a list column would defeat the
+    driver's row-sort-then-hash compare) and rounded to 6 decimals."""
     out = ann.pca_project(_emb_ds(sf_dir), 8).to_pandas()
     out = out.sort_values("vec_id", ignore_index=True)
-    proj = [
-        [round(float(v), 6) for v in row] for row in out["projection"]
-    ]
+    mat = np.round(np.vstack(out["projection"].to_numpy()), 6)
     return pa.table(
         {
             "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-            "projection": pa.array(proj, type=pa.list_(pa.float64())),
+            **{
+                f"pc{j}": pa.array(mat[:, j], type=pa.float64())
+                for j in range(mat.shape[1])
+            },
         }
     )
 
