@@ -128,7 +128,8 @@ def _cmd_query(args) -> None:
         raise SystemExit("--slop requires --phrase")
     if args.phrase:
         rows = eng.phrase_query(args.text, args.scheme, args.k,
-                                filters=filters, slop=args.slop)
+                                filters=filters, slop=args.slop,
+                                fuzzy=args.fuzzy)
     elif args.explain:
         rows = eng.explain(args.text, args.scheme, args.k)
     else:
@@ -426,6 +427,15 @@ def _cmd_stats(args) -> None:
         "total_doc_len": meta.total_doc_len,
         "salt_buckets": meta.salt_buckets,
         "mode": meta.mode,
+    }
+    from pathlib import Path
+
+    from .pipelines.positions import positions_available
+
+    attrs = Path(args.index_dir) / "attrs"
+    out["sidecars"] = {
+        "positions": positions_available(args.index_dir),
+        "attrs": attrs.is_dir(),
     }
     if args.term:
         import pyarrow.parquet as pq

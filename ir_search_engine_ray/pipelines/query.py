@@ -650,6 +650,7 @@ class QueryEngine:
         max_candidates: int = 1_000_000,
         filters: dict | None = None,
         slop: int = 0,
+        fuzzy: bool = False,
     ) -> list[dict]:
         """Phrase search without a positional index: candidate docs are the
         AND-intersection of the phrase terms' postings (per shard actor,
@@ -671,10 +672,15 @@ class QueryEngine:
         "boundary layer" in full mode, the standard normalized-phrase
         semantics.  Verify cost is linear in candidates (bounded by the
         rarest term's df), never the corpus; ``max_candidates`` guards the
-        pathological all-common-terms phrase."""
+        pathological all-common-terms phrase.  ``fuzzy=True`` rewrites OOV
+        phrase terms via :meth:`fuzzy_replacements` before matching (a
+        misspelled phrase otherwise has an empty candidate set)."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
         terms = self.pipe(text)
+        if fuzzy and terms:
+            repl = self.fuzzy_replacements(list(dict.fromkeys(terms)))
+            terms = [repl.get(t, t) for t in terms]
         if not terms:
             return []
         uniq = list(dict.fromkeys(terms))
@@ -834,6 +840,7 @@ class QueryEngine:
         *,
         max_candidates: int = 1_000_000,
         filters: dict | None = None,
+        fuzzy: bool = False,
     ) -> list[dict]:
         """Ordered sloppy-phrase search: :meth:`phrase_query` with the
         contiguity requirement relaxed to a span allowance of ``slop``
@@ -841,6 +848,7 @@ class QueryEngine:
         return self.phrase_query(
             text, scheme, k,
             max_candidates=max_candidates, filters=filters, slop=slop,
+            fuzzy=fuzzy,
         )
 
     def _verify_phrase(

@@ -1408,3 +1408,11 @@ class TestFuzzyQueryExpansion:
             )
             assert batch[0] == eng.query("spanwise"), df_mem
             assert batch[1] == eng.query("pressure turbine"), df_mem
+            # phrase + proximity accept the rewrite too
+            assert eng.phrase_query("spanwize pressure") == [], df_mem
+            assert eng.phrase_query(
+                "spanwize pressure", fuzzy=True
+            ) == eng.phrase_query("spanwise pressure"), df_mem
+            assert eng.proximity_query(
+                "spanwize rises", 2, fuzzy=True
+            ) == eng.proximity_query("spanwise rises", 2), df_mem
