@@ -150,6 +150,18 @@ def curate(
         # unigram_logprob consumes its input twice (count pass + scoring
         # pass): cache the gate once for it and the downstream stages
         gated = gated.materialize()
+        if gated.count() == 0:
+            # nothing survived the quality gate: skip the logprob pass
+            # (whose corpus-distribution fit would raise on zero tokens)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "n_tokens": pa.array([], type=pa.int64()),
+                        "n_pieces": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
         thr = float(min_logprob)
 
         def low_ids(b: pa.Table) -> pa.Table:

@@ -2646,3 +2646,18 @@ class TestAnnIndex:
         assert np.allclose(
             np.vstack(got["projection"]), np.vstack(want["projection"])
         )
+
+
+class TestCurateEmptyGate:
+    def test_logprob_gate_on_emptied_corpus(self, ray_session):
+        """If the quality gate drops everything, the logprob gate returns
+        an empty typed result instead of raising from the distribution
+        fit."""
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        docs = [(0, "12345 !!!"), (1, "???")]  # zero alpha tokens
+        out = curate(_docs_ds(docs), lang=None, min_logprob=-1.0)
+        assert out.count() == 0
+        # (ray's to_pandas drops the columns of a fully empty dataset, so
+        # assert on the dataset schema)
+        assert out.schema().names == ["doc_id", "n_tokens", "n_pieces"]
