@@ -689,6 +689,23 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     )
 
 
+def q_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct user count over the events table — the
+    bounded-memory cardinality sketch (2^p registers cross the shuffle,
+    constant in the corpus).  NO SQL oracle: DuckDB's
+    approx_count_distinct is a different HLL implementation, so the
+    driver records the rows-only check; the estimate is nonetheless
+    DETERMINISTIC for a given input (max-merge is partitioning-invariant,
+    asserted in tests) and its error bound is pinned by pytest."""
+    from ..extras import sketches
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"],
+        override_num_blocks=8,
+    )
+    return sketches.hll_distinct(ev, "user_id", p=12)
+
+
 def q_embedding_pca(sf_dir: str) -> pa.Table:
     """Distributed PCA projection of the embeddings table onto the top 8
     components (moment-combine fit + broadcast project).  NO SQL oracle —
@@ -2165,4 +2182,5 @@ def build_queries() -> dict:
         "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
         "embedding_pca": q_embedding_pca,
+        "distinct_users_hll": q_distinct_users_hll,
     }

@@ -2661,3 +2661,67 @@ class TestCurateEmptyGate:
         # (ray's to_pandas drops the columns of a fully empty dataset, so
         # assert on the dataset schema)
         assert out.schema().names == ["doc_id", "n_tokens", "n_pieces"]
+
+
+class TestHLL:
+    """HyperLogLog cardinality sketch (extras/sketches.py)."""
+
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        n = 50_000
+        t = pa.table({"v": pa.array([f"u-{i}" for i in range(n)] * 2)})
+        ests = []
+        for nb in (1, 9):
+            ds = (
+                ray.data.from_arrow(t).repartition(nb)
+                if nb > 1
+                else ray.data.from_arrow(t)
+            )
+            est = sketches.hll_distinct(ds, "v", p=12)["estimate"][0].as_py()
+            ests.append(est)
+            # 3 sigma of the standard error 1.04/sqrt(2^12) ~ 4.9%
+            assert abs(est - n) / n < 0.05, est
+        # max-merge is associative/commutative/idempotent: the estimate is
+        # EXACTLY partitioning-independent
+        assert ests[0] == ests[1]
+
+    def test_small_range_is_exact(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(list("abcdefgh") * 5)})
+        )
+        # linear-counting regime: tiny cardinalities come out exact
+        assert sketches.hll_distinct(ds, "v")["estimate"][0].as_py() == 8
+        with pytest.raises(ValueError, match="p must be"):
+            sketches.hll_registers(ds, "v", p=2)
+
+    def test_rho_matches_reference_bit_math(self):
+        import numpy as np
+
+        from ir_search_engine_ray.extras.sketches import (
+            _batch_registers,
+            _hash64,
+        )
+
+        vals = [f"x{i}" for i in range(2000)]
+        t = pa.table({"v": pa.array(vals)})
+        got = _batch_registers(t, col="v", p=6)
+        regs = dict(
+            zip(got["register"].to_pylist(), got["rho"].to_pylist())
+        )
+        # naive reference: per value, register = top p bits, rho = leading
+        # zeros of the remaining bits + 1
+        want: dict[int, int] = {}
+        for v, h in zip(vals, _hash64(vals)):
+            h = int(h)
+            reg = h >> 58
+            rest = (h << 6) & ((1 << 64) - 1)
+            rho = 59 if rest == 0 else (64 - rest.bit_length() + 1)
+            want[reg] = max(want.get(reg, 0), rho)
+        assert regs == want
