@@ -50,8 +50,17 @@ def build_ann_index(
     id_col: str = "vec_id",
     spherical: bool = True,
 ) -> dict:
-    """Train + assign + persist; returns the marker payload."""
+    """Train + assign + persist; returns the marker payload.
+
+    Refuses to replace an existing NON-INDEX directory (no ``_ANN_SUCCESS``
+    marker and not empty) — a mistyped output path must not be deleted; a
+    previous index (marker present) or leftover ``.tmp`` is replaced."""
     out = Path(out_dir)
+    if out.exists() and any(out.iterdir()) and not (out / _MARKER).exists():
+        raise FileExistsError(
+            f"{out} exists, is non-empty and is not a previous ANN index "
+            f"(no {_MARKER}) — refusing to overwrite; remove it explicitly"
+        )
     cent = train_centroids(emb_ds, nlist, id_col=id_col, spherical=spherical)
     if cent.size == 0:
         raise ValueError("cannot build an ANN index over an empty dataset")

@@ -2648,6 +2648,44 @@ class TestAnnIndex:
         )
 
 
+    def test_rebuild_replaces_and_refuses_foreign_dirs(
+        self, ray_session, tmp_path
+    ):
+        import ray.data
+
+        from ir_search_engine_ray.extras.ann_index import (
+            AnnIndex,
+            build_ann_index,
+        )
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(40, 8))
+        off = np.arange(0, 41 * 8, 8, dtype=np.int32)
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array(off), pa.array(X.ravel())
+                    ),
+                }
+            )
+        )
+        out = tmp_path / "idx"
+        build_ann_index(emb, out, nlist=4)
+        # leftover tmp from a crashed build is swept by the next build
+        (out.with_name(out.name + ".tmp")).mkdir()
+        m2 = build_ann_index(emb, out, nlist=4)  # previous index: replaced
+        assert m2["n_rows"] == 40
+        assert AnnIndex(out).meta == m2
+        # a non-index, non-empty directory is NEVER deleted
+        foreign = tmp_path / "precious"
+        foreign.mkdir()
+        (foreign / "data.txt").write_text("do not delete")
+        with pytest.raises(FileExistsError, match="refusing to overwrite"):
+            build_ann_index(emb, foreign, nlist=4)
+        assert (foreign / "data.txt").read_text() == "do not delete"
+
 class TestCurateEmptyGate:
     def test_logprob_gate_on_emptied_corpus(self, ray_session):
         """If the quality gate drops everything, the logprob gate returns
