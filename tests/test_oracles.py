@@ -100,6 +100,26 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "proximity_positions",
         "span_dedup",
         "unigram_logprob",
+        # the remaining oracled queries (rounds 1-2; previously gated only
+        # by the driver snapshot) — the full 56-oracle contract now has a
+        # uniform in-repo gate
+        "ann_cosine_topk",
+        "collection_stats_simple",
+        "dedup_exact",
+        "df_simple",
+        "doclen_simple",
+        "docmap",
+        "embedding_neardup",
+        "event_windows",
+        "index_stats_full",
+        "lang_id",
+        "postings_simple",
+        "quality_signals",
+        "sessions",
+        "token_count",
+        "topk_w1_simple",
+        "topk_w2_simple",
+        "topk_w2_snippet",
     ],
 )
 def test_new_oracles_match(con, name, ray_session):
