@@ -481,3 +481,82 @@ class TestProximity:
         }
         with pytest.raises(ValueError, match="slop"):
             engines[0].proximity_query("a b", -1)
+
+
+class TestChainSpansProperty:
+    def test_chain_spans_matches_brute_property(self):
+        """Hypothesis: for ANY per-doc token streams, ANY phrase and ANY
+        slop, the greedy chain kernel's matched-doc set equals the
+        brute-force ordered-occurrence predicate."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.pipelines.positions import (
+            _POS_MASK,
+            chain_spans,
+        )
+
+        vocab = list("abcd")
+
+        @given(
+            st.lists(
+                st.lists(st.sampled_from(vocab), max_size=10),
+                min_size=1,
+                max_size=5,
+            ),
+            st.lists(st.sampled_from(vocab), min_size=2, max_size=4),
+            st.integers(min_value=0, max_value=4),
+        )
+        @settings(max_examples=150, deadline=None)
+        def check(docs, terms, slop):
+            n = len(terms)
+            seq = []
+            for q in terms:
+                ks = [
+                    (d << 32) | i
+                    for d, toks in enumerate(docs)
+                    for i, t in enumerate(toks)
+                    if t == q
+                ]
+                seq.append(np.array(sorted(ks), dtype=np.int64))
+            s, e = chain_spans(seq)
+            span = (e & _POS_MASK) - (s & _POS_MASK)
+            got = set((s[span <= n - 1 + slop] >> np.int64(32)).tolist())
+            want = {
+                d
+                for d, toks in enumerate(docs)
+                if TestProximity._ref_matches(toks, terms, slop)
+            }
+            assert got == want, (docs, terms, slop)
+
+        check()
+
+
+class TestLevLeqProperty:
+    def test_lev_leq_matches_naive_property(self):
+        """Hypothesis: the banded early-exit DP agrees with the full
+        Levenshtein DP for ANY word pair and bound."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.extras.fuzzy import lev_leq
+
+        word = st.text(alphabet="abc", max_size=8)
+
+        @given(word, word, st.integers(min_value=1, max_value=4))
+        @settings(max_examples=300, deadline=None)
+        def check(a, b, d):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            true = prev[-1]
+            got = lev_leq(a, b, d)
+            assert got == (true if true <= d else None), (a, b, d)
+
+        check()
