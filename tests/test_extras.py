@@ -2763,3 +2763,72 @@ class TestHLL:
             rho = 59 if rest == 0 else (64 - rest.bit_length() + 1)
             want[reg] = max(want.get(reg, 0), rho)
         assert regs == want
+
+
+class TestSpanKernelsProperty:
+    def test_kernel_chain_matches_naive(self):
+        """Hypothesis: gram_rows -> _dup_starts -> _doc_rollup (single
+        partition, pure functions) equals a naive per-doc k-gram
+        implementation: same flagged docs, span counts and interval-union
+        coverage."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.extras.spans import (
+            _doc_rollup,
+            _dup_starts,
+            gram_rows,
+        )
+
+        vocab = list("abc")
+        K = 3
+
+        @given(
+            st.lists(
+                st.lists(st.sampled_from(vocab), max_size=10),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        @settings(max_examples=120, deadline=None)
+        def check(doc_toks):
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(
+                        list(range(len(doc_toks))), type=pa.int64()
+                    ),
+                    "text": pa.array(
+                        [" ".join(t) for t in doc_toks], type=pa.string()
+                    ),
+                }
+            )
+            grams = gram_rows(batch, k=K, parts=1)
+            dup = _dup_starts(grams)
+            dup = dup.append_column(
+                "dpart", pa.array(np.zeros(dup.num_rows, dtype=np.int32))
+            )
+            out = _doc_rollup(dup, k=K)
+            got = {
+                r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+                for r in out.to_pylist()
+            }
+            # naive reference
+            gmap: dict[tuple, set] = {}
+            for d, toks in enumerate(doc_toks):
+                for i in range(len(toks) - K + 1):
+                    gmap.setdefault(tuple(toks[i : i + K]), set()).add(d)
+            want = {}
+            for d, toks in enumerate(doc_toks):
+                starts = [
+                    i
+                    for i in range(len(toks) - K + 1)
+                    if len(gmap[tuple(toks[i : i + K])]) > 1
+                ]
+                if starts:
+                    covered = set()
+                    for i in starts:
+                        covered.update(range(i, i + K))
+                    want[d] = (len(starts), len(covered))
+            assert got == want, doc_toks
+
+        check()
