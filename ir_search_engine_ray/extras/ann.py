@@ -46,14 +46,30 @@ def _topk_partial(
     norms = np.linalg.norm(mat, axis=1)
     qn = np.linalg.norm(q)
     cos = (mat @ q) / np.maximum(norms * qn, 1e-30)
-    take = min(k, cos.size)
-    part = np.argpartition(-cos, take - 1)[:take]
+    part = _local_topk(cos, ids, k)
     return pa.table(
         {
             id_col: pa.array(ids[part], type=pa.int64()),
             "cosine": pa.array(cos[part], type=pa.float64()),
         }
     )
+
+
+def _local_topk(cos: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Per-batch top-k indices with the GLOBAL tie-break (cosine desc,
+    id asc).  A bare argpartition keeps an arbitrary tie subset, which
+    makes the merged result depend on block layout when scores tie
+    exactly (e.g. duplicate vectors); selecting everything at or above
+    the k-th score and lexsorting keeps the partial deterministic and
+    minimal-id, so the merge is layout-independent."""
+    take = min(k, cos.size)
+    if take == cos.size:
+        cand = np.arange(cos.size)
+    else:
+        kth = np.partition(-cos, take - 1)[take - 1]
+        cand = np.flatnonzero(-cos <= kth)  # all with cos >= k-th largest
+    order = np.lexsort((ids[cand], -cos[cand]))[:take]
+    return cand[order]
 
 
 def cosine_topk(
@@ -106,7 +122,11 @@ def _batch_topk_partial(
     if exclude_self:
         cos[ids[:, None] == q_ids[None, :]] = -np.inf
     take = min(k, ids.size)
-    part = np.argpartition(-cos, take - 1, axis=0)[:take]  # (take, n_q)
+    # per-query deterministic local top-k (see _local_topk: a bare
+    # argpartition keeps arbitrary tie subsets, layout-dependent)
+    part = np.empty((take, q_ids.size), dtype=np.int64)
+    for qi in range(q_ids.size):
+        part[:, qi] = _local_topk(cos[:, qi], ids, take)
     qcol = np.repeat(q_ids, take)
     rows = part.T.ravel()
     vals = cos[rows, np.repeat(np.arange(q_ids.size), take)]

@@ -73,7 +73,15 @@ def build_ann_index(
     tmp = out.with_name(out.name + ".tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     (tmp / "assign").mkdir(parents=True)
-    assigned.write_parquet(str(tmp / "assign"), partition_cols=["cluster"])
+    # sort by cluster BEFORE the hive write: without it every (block,
+    # cluster) pair becomes its own tiny file — blocks x nlist files (34k
+    # observed for a 200k-row build).  Sorted, each block spans a few
+    # clusters, so the layout is ~n_blocks + nlist files.  The sort is one
+    # all-to-all proportional to the data — the standard price of a
+    # clustered layout, same class as the build's doc-id sort.
+    assigned.sort("cluster").write_parquet(
+        str(tmp / "assign"), partition_cols=["cluster"]
+    )
     n_rows = sum(
         pq.read_metadata(p).num_rows for p in (tmp / "assign").rglob("*.parquet")
     )

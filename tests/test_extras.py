@@ -2832,3 +2832,50 @@ class TestSpanKernelsProperty:
             assert got == want, doc_toks
 
         check()
+
+
+class TestAnnTieDeterminism:
+    def test_duplicate_vectors_tie_break_by_id_any_layout(self, ray_session):
+        """Exact ties (duplicate vectors) must come out (cosine desc, id
+        asc) regardless of block layout — the per-batch partial used to
+        keep an arbitrary argpartition tie subset."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import ann
+
+        rng = np.random.default_rng(2)
+        d = 8
+        v = rng.normal(size=d)
+        n_dup, n_other = 30, 50
+        X = np.vstack([np.tile(v, (n_dup, 1)), rng.normal(size=(n_other, d))])
+        n = X.shape[0]
+        off = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(off), pa.array(X.ravel())
+                ),
+            }
+        )
+        want = None
+        for nb in (1, 3, 11):
+            ds = (
+                ray.data.from_arrow(t).repartition(nb)
+                if nb > 1
+                else ray.data.from_arrow(t)
+            )
+            got = ann.cosine_topk(ds, v, k=10, exclude=0)
+            assert got["vec_id"].to_pylist() == list(range(1, 11)), nb
+            if want is None:
+                want = got
+            assert got.equals(want), nb
+            # batched variant: same tie discipline per query
+            bt = ann.cosine_topk_batch(
+                ds, np.array([0], dtype=np.int64), v[None, :], k=10,
+                exclude_self=True,
+            )
+            sub = bt.filter(
+                pa.compute.equal(bt["query_id"], 0)
+            )["vec_id"].to_pylist()
+            assert sub[:9] == list(range(1, 10)), nb
