@@ -188,9 +188,16 @@ def bench_phrase(meta, sf_dir: str, rounds: int = 3) -> dict:
     out["phrase_retokenize"] = timed(
         QueryEngine(meta, QueryConfig(scheme="w2", use_positions=False))
     )
+    # build_positions is resume-aware (per-salt skip markers): wipe any
+    # surviving sidecar so positions_build_s records the BUILD cost, not
+    # a warm-skip no-op, and assert the run really built every salt
+    pos_dir = Path(meta.out_dir) / "positions"
+    if pos_dir.exists():
+        shutil.rmtree(pos_dir)
     t0 = time.perf_counter()
-    build_positions(meta.out_dir)
+    marker = build_positions(meta.out_dir)
     out["positions_build"] = time.perf_counter() - t0
+    assert marker.get("n_skipped", 0) == 0, marker
     out["phrase_positions"] = timed(
         QueryEngine(meta, QueryConfig(scheme="w2", use_positions=True))
     )
@@ -298,8 +305,12 @@ def run_main() -> None:
         "n_phrase_queries": phrase["n_phrase_queries"],
         "span_dedup_s": round(span_dedup_s, 3),
     }
-    print(json.dumps(result))
+    # shutdown FIRST, JSON LAST: Ray worker log lines can flush to stdout
+    # after the result line otherwise, which breaks the driver's tail-parse
+    # (BENCH_r04 was recorded with "parsed": null for exactly this reason)
     ray.shutdown()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 def run_child(num_cpus: int) -> None:
@@ -308,6 +319,8 @@ def run_child(num_cpus: int) -> None:
 
     _init_ray(num_cpus)
     build = bench_index_build(SF_DIR, num_cpus)
+    ray.shutdown()  # shutdown first so the JSON is the final stdout line
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -316,9 +329,9 @@ def run_child(num_cpus: int) -> None:
                 "n_turns": build["n_turns"],
                 "turns_per_sec": round(build["turns_per_sec"], 1),
             }
-        )
+        ),
+        flush=True,
     )
-    ray.shutdown()
 
 
 def run_scaling(lo: int | None = None, hi: int | None = None) -> None:

@@ -50,6 +50,11 @@ def _text_hash_cols(batch: pa.Table) -> pa.Table:
         d = hashlib.blake2b(t.encode(), digest_size=16).digest()
         h1[i] = int.from_bytes(d[:8], "little")
         h2[i] = int.from_bytes(d[8:], "little")
+    # schema metadata (parquet reads carry pandas metadata) makes the
+    # schema unhashable, and Ray's unify_schemas then logs "Failed to hash
+    # the schemas" on every downstream groupby reduce — strip it here,
+    # where batches enter the dedup shuffles
+    batch = batch.replace_schema_metadata(None)
     return batch.append_column(
         "h1", pa.array(h1.view(np.int64))
     ).append_column("h2", pa.array(h2.view(np.int64)))
@@ -602,6 +607,11 @@ def anti_join_ids(
         raise ValueError(f"anti_join_ids: bad schema {names}")
 
     def tag_left(b: pa.Table) -> pa.Table:
+        # drop schema metadata (parquet reads carry pandas metadata): a
+        # pa.Schema WITH metadata is unhashable, and Ray's unify_schemas
+        # warns "Failed to hash the schemas" on every union/reduce block
+        # when the two union sides differ only in metadata
+        b = b.replace_schema_metadata(None)
         key = b[on].to_numpy().astype(np.int64)
         return b.append_column(
             "__drop", pa.array(np.zeros(len(key), dtype=bool))
