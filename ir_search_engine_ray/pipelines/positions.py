@@ -193,9 +193,15 @@ def _build_salt(
     need = res.convs_for(np.arange(lo, hi + 1, dtype=np.int64))
     pair = res.pair_for_convs(need)
     files = prune_paths_by_conv(source_paths, need[0], need[-1])
+    # (size, mtime_ns) per source file: an in-place edit that preserves
+    # size would otherwise keep serving a stale positions file forever
     lineage = hashlib.sha256(
         json.dumps(
-            [[p, Path(p).stat().st_size] for p in sorted(files)]
+            [
+                [p, st.st_size, st.st_mtime_ns]
+                for p in sorted(files)
+                for st in (Path(p).stat(),)
+            ]
         ).encode()
     ).hexdigest()[:16]
     if path.exists():
@@ -327,7 +333,6 @@ def positions_available(out_dir: str | Path) -> bool:
     return True
 
 
-@ray.remote
 def _read_term_positions(
     path: str, terms: list[str], cand_lo: int, cand_hi: int
 ) -> pa.Table:
@@ -384,49 +389,18 @@ def chain_spans(
     return S_start, S_cur
 
 
-def verify_phrase_positions(
-    out_dir: str | Path,
-    range_size: int,
-    cand: np.ndarray,
-    terms: list[str],
-    slop: int = 0,
+def _match_cand_docs(
+    got: pa.Table, cand: np.ndarray, terms: list[str], slop: int
 ) -> np.ndarray:
-    """Candidate docs (sorted, each containing every phrase term) that hold
-    the terms as a CONTIGUOUS run (``slop=0``) or an ORDERED run whose span
-    exceeds the phrase length by at most ``slop`` positions, resolved from
-    the positional sidecar — O(phrase postings within candidates), no
-    corpus read.
-
-    slop=0 adjacency chain, fully vectorized: encode each (doc, position)
-    as one int64 key ``rank(doc) << 32 | pos``; start from term 0's keys
-    and at step j keep ``key+1`` iff present in term j's sorted keys (one
-    searchsorted membership probe per step).  Surviving keys' doc ranks are
-    the phrase docs.  slop>0 uses the same keys through
-    :func:`chain_spans` (earliest-successor chains, exact by the
-    minimal-span argument there)."""
-    pos_dir = Path(out_dir) / "positions"
-    uniq_terms = sorted(set(terms))
-    salts = np.unique(cand // range_size)
-    by_salt = {
-        int(p.name.split("-")[1]): p for p in pos_dir.glob("pos-*.parquet")
-    }
-    refs = []
-    c_lo, c_hi = int(cand[0]), int(cand[-1])
-    for s in salts:
-        path = by_salt.get(int(s))
-        if path is None:
-            raise FileNotFoundError(
-                f"positions file for salt {int(s)} missing under {pos_dir}"
-            )
-        refs.append(
-            _read_term_positions.remote(str(path), uniq_terms, c_lo, c_hi)
-        )
-    got = pa.concat_tables(ray.get(refs))
-    # keep only true candidates (the per-file filter was a range filter)
+    """Candidate docs in ``cand`` (sorted) whose positions in ``got`` hold
+    ``terms`` as a contiguous (``slop=0``) or ordered-sloppy run.  Pure
+    local kernel — chains never cross documents, so it is exact over any
+    doc-complete subset of the candidates (e.g. one salt's slice)."""
+    # keep only true candidates (the file-level filter was a range filter)
     d = got["doc_id"].to_numpy()
-    idx = np.searchsorted(cand, d)
-    idx_safe = np.clip(idx, 0, cand.size - 1)
+    idx_safe = np.clip(np.searchsorted(cand, d), 0, cand.size - 1)
     got = got.filter(pa.array(cand[idx_safe] == d))
+    uniq_terms = sorted(set(terms))
     term_keys: dict[str, np.ndarray] = {}
     d = got["doc_id"].to_numpy()
     ranks = np.searchsorted(cand, d).astype(np.int64)
@@ -448,18 +422,84 @@ def verify_phrase_positions(
         span = (ends & _POS_MASK) - (starts & _POS_MASK)
         hit = starts[span <= len(terms) - 1 + slop]
         return cand[np.unique(hit >> np.int64(32))]
-    S = term_keys.get(terms[0], np.empty(0, dtype=np.int64))
+    S = term_keys.get(terms[0], empty)
     for t in terms[1:]:
         if S.size == 0:
             break
         q = S + 1
-        keys = term_keys.get(t, np.empty(0, dtype=np.int64))
+        keys = term_keys.get(t, empty)
         if keys.size == 0:
-            S = np.empty(0, dtype=np.int64)
+            S = empty
             break
-        i = np.searchsorted(keys, q)
-        i_safe = np.clip(i, 0, keys.size - 1)
+        i_safe = np.clip(np.searchsorted(keys, q), 0, keys.size - 1)
         S = q[keys[i_safe] == q]
     if S.size == 0:
-        return np.empty(0, dtype=np.int64)
+        return empty
     return cand[np.unique(S >> np.int64(32))]
+
+
+@ray.remote
+def _verify_salt_positions(
+    path: str, cand_salt: np.ndarray, terms: list[str], slop: int
+) -> np.ndarray:
+    """Read one salt file's phrase-term positions (row-group-pruned) and
+    chain-verify them WORKER-SIDE, returning only the matched doc_ids —
+    the candidate position lists never leave the worker (at 1M candidates
+    x several terms the old driver-side concat was tens-to-hundreds of MB
+    of data that is reduced here to at most one int64 per matched doc)."""
+    got = _read_term_positions(
+        path, sorted(set(terms)), int(cand_salt[0]), int(cand_salt[-1])
+    )
+    return _match_cand_docs(got, cand_salt, terms, slop)
+
+
+def verify_phrase_positions(
+    out_dir: str | Path,
+    range_size: int,
+    cand: np.ndarray,
+    terms: list[str],
+    slop: int = 0,
+) -> np.ndarray:
+    """Candidate docs (sorted, each containing every phrase term) that hold
+    the terms as a CONTIGUOUS run (``slop=0``) or an ORDERED run whose span
+    exceeds the phrase length by at most ``slop`` positions, resolved from
+    the positional sidecar — O(phrase postings within candidates), no
+    corpus read.
+
+    slop=0 adjacency chain, fully vectorized: encode each (doc, position)
+    as one int64 key ``rank(doc) << 32 | pos``; start from term 0's keys
+    and at step j keep ``key+1`` iff present in term j's sorted keys (one
+    searchsorted membership probe per step).  Surviving keys' doc ranks are
+    the phrase docs.  slop>0 uses the same keys through
+    :func:`chain_spans` (earliest-successor chains, exact by the
+    minimal-span argument there).
+
+    Distribution shape: docs are salt-partitioned and chains never cross
+    documents, so EVERY salt verifies independently — each per-salt remote
+    task reads only its pruned row groups, chains locally, and returns
+    only matched doc_ids.  The driver concatenates doc_ids, never
+    position lists."""
+    pos_dir = Path(out_dir) / "positions"
+    salts = np.unique(cand // range_size)
+    by_salt = {
+        int(p.name.split("-")[1]): p for p in pos_dir.glob("pos-*.parquet")
+    }
+    refs = []
+    for s in salts:
+        path = by_salt.get(int(s))
+        if path is None:
+            raise FileNotFoundError(
+                f"positions file for salt {int(s)} missing under {pos_dir}"
+            )
+        lo, hi = np.searchsorted(
+            cand, [int(s) * range_size, (int(s) + 1) * range_size]
+        )
+        refs.append(
+            _verify_salt_positions.remote(
+                str(path), cand[lo:hi], list(terms), slop
+            )
+        )
+    matched = [m for m in ray.get(refs) if m.size]
+    if not matched:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(matched))

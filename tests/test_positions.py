@@ -110,6 +110,24 @@ class TestPositions:
         redo = positions.build_positions(POS_OUT, row_group_size=64)
         assert redo["n_skipped"] == redo["n_salts"]
 
+    def test_same_size_source_edit_triggers_rebuild(self, pos_built):
+        """The per-salt lineage hash covers (size, mtime_ns) of the pruned
+        source files (round-5 fix): an in-place edit that preserves file
+        size must NOT keep serving the stale positions file once the index
+        is rebuilt — simulated here by bumping mtime only."""
+        import json
+        import os
+
+        from ir_search_engine_ray.pipelines import positions
+
+        stats = json.loads((POS_OUT / "stats.json").read_text())
+        for ln in stats["lineage"]:
+            st = os.stat(ln["path"])
+            os.utime(ln["path"], ns=(st.st_atime_ns, st.st_mtime_ns + 1_000))
+        (POS_OUT / "positions" / "_SUCCESS").unlink()
+        redo = positions.build_positions(POS_OUT, row_group_size=64)
+        assert redo["n_skipped"] == 0  # every salt saw the changed lineage
+
     def test_streamed_resolver_builds_identical_sidecar(
         self, pos_built, tmp_path
     ):
