@@ -161,13 +161,55 @@ class ShardState:
                 ub={s: float(wmax[s].max()) for s in wmax},
             )
 
-    def _gather(self, terms: list[str], weights: np.ndarray):
-        """(query weight, term data) for the query terms present locally."""
-        return [
+    def _gather(
+        self,
+        terms: list[str],
+        weights: np.ndarray,
+        scheme: str | None = None,
+        mask: np.ndarray | None = None,
+    ):
+        """(query weight, term data) for the query terms present locally.
+
+        With ``mask`` (an allowed-docs span mask from :meth:`allowed_mask`)
+        each term's postings are RESTRICTED to allowed docs and the
+        window/upper-bound stats recomputed over the restriction — so the
+        pruned algorithms (maxscore / block-max WAND) stay exact under
+        metadata filters while skipping disallowed-doc work: a bound over
+        the masked postings is by construction filter-aware."""
+        found = [
             (float(weights[qi]), self.terms[term])
             for qi, term in enumerate(terms)
             if term in self.terms and weights[qi] != 0.0
         ]
+        if mask is None:
+            return found
+        masked = []
+        for wq, d in found:
+            sel = mask[d.ids - self.doc_lo]
+            if not sel.any():
+                continue
+            ids = d.ids[sel]
+            wn = d.wn[scheme][sel]
+            win = (ids - self.doc_lo) // WINDOW
+            new_seg = np.empty(ids.size, dtype=bool)
+            new_seg[0] = True
+            np.not_equal(win[1:], win[:-1], out=new_seg[1:])
+            seg_starts = np.flatnonzero(new_seg)
+            wmax = np.maximum.reduceat(wn, seg_starts)
+            masked.append(
+                (
+                    wq,
+                    _TermData(
+                        ids=ids,
+                        wn={scheme: wn},
+                        win_ids=win[seg_starts],
+                        seg_starts=seg_starts,
+                        wmax={scheme: wmax},
+                        ub={scheme: float(wmax.max())},
+                    ),
+                )
+            )
+        return masked
 
     @property
     def _span(self) -> int:
@@ -244,13 +286,20 @@ class ShardState:
         return mask
 
     def score_maxscore(
-        self, terms: list[str], weights: np.ndarray, scheme: str, k: int
+        self,
+        terms: list[str],
+        weights: np.ndarray,
+        scheme: str,
+        k: int,
+        mask: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Term-at-a-time with upper-bound pruning: process terms in
         descending (max contribution) order; once the top-k threshold
         exceeds the sum of remaining bounds, a term can no longer lift a
-        NEW doc into the heap — it then only scores already-touched docs."""
-        found = self._gather(terms, weights)
+        NEW doc into the heap — it then only scores already-touched docs.
+        ``mask`` restricts to allowed docs with bounds recomputed over the
+        restriction (see :meth:`_gather`) — exact filtered pruning."""
+        found = self._gather(terms, weights, scheme, mask)
         if not found:
             return []
         ubs = sorted(
@@ -277,13 +326,20 @@ class ShardState:
         return topk_from_scores(nz + self.doc_lo, acc[nz], k)
 
     def score_block_max_wand(
-        self, terms: list[str], weights: np.ndarray, scheme: str, k: int
+        self,
+        terms: list[str],
+        weights: np.ndarray,
+        scheme: str,
+        k: int,
+        mask: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Block-max WAND over doc-id windows with a bounded min-heap (see
         module docstring).  theta = k-th best score so far; a window whose
         block-max bound is strictly below theta — and every window after
-        it in descending-bound order — is skipped entirely."""
-        found = self._gather(terms, weights)
+        it in descending-bound order — is skipped entirely.  ``mask``
+        restricts to allowed docs with block maxima recomputed over the
+        restriction (see :meth:`_gather`) — exact filtered pruning."""
+        found = self._gather(terms, weights, scheme, mask)
         if not found:
             return []
         n_win = (self._span + WINDOW - 1) // WINDOW
@@ -378,19 +434,18 @@ class ShardState:
         self, terms, weights, scheme, k, algorithm, filters=None
     ) -> list[tuple[int, float]]:
         w = np.asarray(weights, dtype=np.float64)
+        fn = {
+            "exhaustive": self.score_exhaustive,
+            "maxscore": self.score_maxscore,
+            "block_max_wand": self.score_block_max_wand,
+        }[algorithm]
         if filters:
-            # filtered retrieval always scores exhaustively: WAND/maxscore
-            # bounds are not filter-aware, so their pruning could discard a
-            # window whose only surviving docs are allowed ones
-            out = self.score_exhaustive(
-                terms, w, scheme, k, mask=self.allowed_mask(filters)
-            )
+            # filter-aware pruning: every algorithm takes the allowed-docs
+            # mask; the pruned ones recompute their upper bounds over the
+            # masked postings (so no allowed doc is ever pruned away, and
+            # disallowed windows/postings are skipped instead of scored)
+            out = fn(terms, w, scheme, k, mask=self.allowed_mask(filters))
         else:
-            fn = {
-                "exhaustive": self.score_exhaustive,
-                "maxscore": self.score_maxscore,
-                "block_max_wand": self.score_block_max_wand,
-            }[algorithm]
             out = fn(terms, w, scheme, k)
         # locked semantics: zero-score docs are never returned (see oracle.py)
         return [(d, s) for d, s in out if s > 0.0]
@@ -612,19 +667,26 @@ class QueryEngine:
         return self._finish(partials, k, q_norm)
 
     def explain(
-        self, text: str, scheme: str | None = None, k: int | None = None
+        self,
+        text: str,
+        scheme: str | None = None,
+        k: int | None = None,
+        filters: dict | None = None,
+        fuzzy: bool = False,
     ) -> list[dict]:
         """Top-k results with the per-query-term score breakdown: each result
         row carries ``terms: {term: contribution}`` where contribution =
         wn(t,d) * w(t,q) / ||q|| and the contributions sum to the score
         (reference's debug sparse-vector dump, ``search/Driver.java:94-104``,
-        off the hot path)."""
+        off the hot path).  ``filters``/``fuzzy`` behave exactly as in
+        :meth:`query`, so an OOV rewrite or a filtered ranking can be
+        debugged with the terms that actually scored it."""
         scheme = scheme or self.config.scheme
         k = k or self.config.top_k
-        results = self.query(text, scheme, k)
+        results = self.query(text, scheme, k, filters=filters, fuzzy=fuzzy)
         if not results:
             return results
-        terms, weights, q_norm = self.parse(text)
+        terms, weights, q_norm = self.parse(text, fuzzy=fuzzy)
         docs = [r["doc_id"] for r in results]
         if self.local:
             mats = [s.term_weights(terms, docs, scheme) for s in self.states]

@@ -1132,6 +1132,27 @@ class TestFilteredQuery:
                     [g["score"] for g in got], [w["score"] for w in want]
                 ), (qt, filters)
 
+    def test_filtered_pruned_algorithms_match_exhaustive(
+        self, ray_session, attr_built, corpus
+    ):
+        """Filter-aware pruning (round 5): maxscore and block-max WAND under
+        filters recompute their bounds over the masked postings, so the
+        filtered top-k must be IDENTICAL to exhaustive masked scoring."""
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+
+        eng = QueryEngine(attr_built, local=True)
+        queries = pq.read_table(corpus / "queries.parquet")["text"].to_pylist()
+        for qt in queries[:6]:
+            for filters in [
+                {"role": "user"},
+                {"tool": ["search", "calculator"]},
+                {"role": ["assistant", "tool"], "tool": "search"},
+            ]:
+                base = eng.query(qt, "w2", 10, "exhaustive", filters=filters)
+                for algo in ("maxscore", "block_max_wand"):
+                    got = eng.query(qt, "w2", 10, algo, filters=filters)
+                    assert got == base, (qt, filters, algo)
+
     def test_actor_path_matches_local(self, ray_session, attr_built, corpus):
         from ir_search_engine_ray.config import QueryConfig
         from ir_search_engine_ray.pipelines.query import QueryEngine
