@@ -131,7 +131,8 @@ def _cmd_query(args) -> None:
                                 filters=filters, slop=args.slop,
                                 fuzzy=args.fuzzy)
     elif args.explain:
-        rows = eng.explain(args.text, args.scheme, args.k)
+        rows = eng.explain(args.text, args.scheme, args.k,
+                           filters=filters, fuzzy=args.fuzzy)
     else:
         rows = eng.query(args.text, args.scheme, args.k, args.algorithm,
                          filters=filters, fuzzy=args.fuzzy)
@@ -366,6 +367,24 @@ def _cmd_ann_build(args) -> None:
         emb, args.out, nlist=args.nlist, id_col=args.id_col
     )
     print(json.dumps({"out": args.out, **marker}))
+
+
+def _cmd_ann_append(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras.ann_index import AnnIndex, append_ann_index
+
+    id_col = AnnIndex(args.index_dir).meta["id_col"]
+    emb = ray.data.read_parquet(
+        args.embeddings,
+        columns=[id_col, "embedding"],
+        override_num_blocks=16,
+    )
+    marker = append_ann_index(
+        emb, args.index_dir, retrain_frac=args.retrain_frac
+    )
+    print(json.dumps({"out": args.index_dir, **marker}))
 
 
 def _cmd_ann_query(args) -> None:
@@ -624,6 +643,19 @@ def main(argv: list[str] | None = None) -> None:
                     help="cluster count (default ~sqrt(n))")
     ab.add_argument("--id-col", default="vec_id")
     ab.set_defaults(fn=_cmd_ann_build)
+
+    aa = sub.add_parser(
+        "ann-append",
+        help="append new vectors to a persisted IVF index as a new "
+             "generation (no retrain/rewrite; ids must sort after "
+             "indexed ones)",
+    )
+    aa.add_argument("index_dir")
+    aa.add_argument("embeddings")
+    aa.add_argument("--retrain-frac", type=float, default=0.5,
+                    help="warn to rebuild once appended rows exceed this "
+                         "fraction of the base build")
+    aa.set_defaults(fn=_cmd_ann_append)
 
     aq = sub.add_parser(
         "ann-query",

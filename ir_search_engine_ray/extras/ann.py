@@ -287,12 +287,19 @@ def train_centroids(
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(mat.shape[0], size=min(nlist, mat.shape[0]), replace=False)]
     for _ in range(iters):
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(cent.shape[0]):
-            m = assign == c
-            if m.any():
-                cent[c] = mat[m].mean(axis=0)
+        assign = _nearest_centroid(mat, cent)
+        # vectorized per-centroid means: sort-by-assignment + reduceat —
+        # O(sample log sample + sample * dim), never an O(nlist * sample)
+        # per-centroid Python mask loop
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], a_s[1:] != a_s[:-1]))
+        )
+        sums = np.add.reduceat(mat[order], starts, axis=0)
+        labels = a_s[starts]
+        counts = np.diff(np.concatenate((starts, [a_s.size])))
+        cent[labels] = sums / counts[:, None]
         if spherical:
             cent = cent / np.maximum(
                 np.linalg.norm(cent, axis=1, keepdims=True), 1e-30
@@ -300,14 +307,29 @@ def train_centroids(
     return cent
 
 
+def _nearest_centroid(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||^2 via the matmul identity ``-2 x @ C.T + ||c||^2``
+    (the per-row ``||x||^2`` term is constant under the argmin): a
+    (rows, nlist) score matrix, NEVER the (rows, nlist, dim) broadcast
+    temp — which at standard IVF sizing (nlist=4096, dim=768) would be
+    ~25 GB per 1024-row batch.  Rows are chunked so the score matrix stays
+    <=128 MB even at the nlist=65536 clamp."""
+    chunk = max(16, (1 << 24) // max(cent.shape[0], 1))
+    c2 = (cent * cent).sum(axis=1)
+    out = np.empty(mat.shape[0], dtype=np.int64)
+    for s in range(0, mat.shape[0], chunk):
+        block = mat[s : s + chunk]
+        out[s : s + chunk] = (c2 - 2.0 * (block @ cent.T)).argmin(axis=1)
+    return out
+
+
 def assign_clusters(batch: pa.Table, *, cent_ref, id_col: str) -> pa.Table:
     cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
     if batch.num_rows == 0:
         return batch.append_column("cluster", pa.array([], type=pa.int32()))
     mat = _batch_matrix(batch)
-    d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     return batch.append_column(
-        "cluster", pa.array(d.argmin(axis=1).astype(np.int32))
+        "cluster", pa.array(_nearest_centroid(mat, cent).astype(np.int32))
     )
 
 

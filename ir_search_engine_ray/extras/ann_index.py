@@ -14,14 +14,25 @@ IVF artifact the way the inverted index persists postings:
   go to a temp dir and rename into place; the marker carries the
   (row count, dim, nlist) fingerprint so a stale or partial build is
   never silently served.
+- ``append_ann_index`` grows the index WITHOUT a retrain or a rewrite:
+  new vectors are assigned to the EXISTING centroids and written as a new
+  GENERATION tree (``assign-g0001/cluster=<c>/``); the marker's
+  ``generations`` list is what queries read, and it is rewritten
+  atomically only after the generation directory is fully in place — a
+  crash mid-append is invisible (the half-written generation is never
+  listed, so never served), mirroring ``pipelines.index_build.append_index``'s
+  discipline.  Append cost is O(new vectors); the price is that centroids
+  drift from the data as appends accumulate, so recall on the PRUNED
+  (nprobe < nlist) path can degrade — past ``retrain_frac`` appended rows
+  the append warns to rebuild (full-probe stays exact regardless).
 - ``AnnIndex`` loads ONLY the centroids (nlist x dim — driver-sized by
   construction) and serves ``query(vec, k, nprobe)`` via a pruned
-  ``read_parquet`` of the probed cluster directories piped into the
-  brute-force cosine kernel.
+  ``read_parquet`` of the probed cluster directories, across every live
+  generation, piped into the brute-force cosine kernel.
 
 With ``nprobe == nlist`` the result is exactly the brute-force top-k
-(asserted in tests), which is what makes the exact oracle valid for the
-pruned path.
+(asserted in tests, appended generations included), which is what makes
+the exact oracle valid for the pruned path.
 """
 
 from __future__ import annotations
@@ -82,9 +93,7 @@ def build_ann_index(
     assigned.sort("cluster").write_parquet(
         str(tmp / "assign"), partition_cols=["cluster"]
     )
-    n_rows = sum(
-        pq.read_metadata(p).num_rows for p in (tmp / "assign").rglob("*.parquet")
-    )
+    n_rows, max_id = _tree_stats(tmp / "assign", id_col)
     d = cent.shape[1]
     off = np.arange(0, (cent.shape[0] + 1) * d, d, dtype=np.int32)
     pq.write_table(
@@ -106,11 +115,151 @@ def build_ann_index(
         "nlist": int(cent.shape[0]),
         "id_col": id_col,
         "spherical": bool(spherical),
+        # append bookkeeping: queries read exactly these trees; append adds
+        # a new one and rewrites this marker atomically (see append_ann_index)
+        "generations": ["assign"],
+        "max_vec_id": None if max_id is None else int(max_id),
+        "n_base_rows": int(n_rows),
+        "n_appended": 0,
     }
     (tmp / _MARKER).write_text(json.dumps(marker))
-    shutil.rmtree(out, ignore_errors=True)
+    # crash-safe swap: rename the live index ASIDE (instant) instead of
+    # deleting it before the promote — a crash anywhere in this window
+    # leaves either the old index at ``out`` or a complete copy at
+    # ``.old``, never zero queryable indexes; the old copy is removed only
+    # after the new one is in place
+    old = out.with_name(out.name + ".old")
+    shutil.rmtree(old, ignore_errors=True)
+    if out.exists():
+        os.replace(out, old)
     os.replace(tmp, out)
+    shutil.rmtree(old, ignore_errors=True)
     return marker
+
+
+def _tree_stats(tree: Path, id_col: str) -> tuple[int, int | None]:
+    """(row count, max id) of a written assignment tree, from the parquet
+    FOOTERS (row counts + column min/max statistics) — no data read; falls
+    back to reading the id column of any file whose stats are absent."""
+    n = 0
+    mx: int | None = None
+    for p in tree.rglob("*.parquet"):
+        md = pq.read_metadata(p)
+        n += md.num_rows
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.names.index(id_col)
+        file_mx: int | None = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                file_mx = None
+                break
+            file_mx = st.max if file_mx is None else max(file_mx, st.max)
+        if file_mx is None:  # stats missing: read just the id column
+            col = pq.read_table(p, columns=[id_col])[id_col]
+            file_mx = int(pa.compute.max(col).as_py())
+        mx = int(file_mx) if mx is None else max(mx, int(file_mx))
+    return n, mx
+
+
+def append_ann_index(
+    emb_ds: ray.data.Dataset,
+    out_dir: str | Path,
+    *,
+    retrain_frac: float = 0.5,
+) -> dict:
+    """Append new vectors to a persisted IVF index WITHOUT retraining or
+    rewriting: assign them to the EXISTING centroids and write one new
+    generation tree (``assign-gNNNN/cluster=<c>/``), then atomically
+    rewrite the marker to include it — O(new vectors) total, and a crash
+    anywhere before the marker rewrite leaves the index exactly as it was
+    (the orphan generation is never listed, so never served, and the next
+    append overwrites it).
+
+    Requirements mirror the text index's ``append_index``: new ``id_col``
+    values must sort strictly after every indexed one (duplicate ids would
+    be served twice) and the embedding dim must match.
+
+    Centroids are NOT retrained, so bucket balance drifts as appends
+    accumulate: full-probe results stay exact forever, but pruned
+    (``nprobe < nlist``) recall can degrade.  Once cumulative appended
+    rows exceed ``retrain_frac`` x the base build's rows, a warning
+    recommends a fresh ``build_ann_index`` — the documented re-train
+    threshold."""
+    out = Path(out_dir)
+    marker_path = out / _MARKER
+    if not marker_path.exists():
+        raise FileNotFoundError(
+            f"no completed ANN index under {out} (missing {_MARKER}) — "
+            "run build_ann_index first"
+        )
+    meta = json.loads(marker_path.read_text())
+    id_col = meta["id_col"]
+    head = emb_ds.take(1)
+    if not head:
+        return meta  # empty append: no-op
+    got_dim = len(head[0]["embedding"])
+    if got_dim != meta["dim"]:
+        raise ValueError(
+            f"appended embeddings have dim {got_dim}, index has "
+            f"dim {meta['dim']}"
+        )
+    new_min = emb_ds.min(id_col)
+    if meta.get("max_vec_id") is not None and new_min <= meta["max_vec_id"]:
+        raise ValueError(
+            f"appended {id_col} values must sort after every indexed one "
+            f"(got min {new_min} <= indexed max {meta['max_vec_id']}) — "
+            "duplicate ids would be served twice"
+        )
+    t = pq.read_table(out / "centroids.parquet")
+    flat = t["centroid"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    cent = flat.reshape(meta["nlist"], meta["dim"])
+    cent_ref = ray.put(cent)
+    assigned = emb_ds.map_batches(
+        assign_clusters,
+        fn_kwargs={"cent_ref": cent_ref, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+    gens = list(meta.get("generations", ["assign"]))
+    gen = f"assign-g{len(gens):04d}"
+    tmp = out / (gen + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.sort("cluster").write_parquet(
+        str(tmp), partition_cols=["cluster"]
+    )
+    n_new, new_max = _tree_stats(tmp, id_col)
+    shutil.rmtree(out / gen, ignore_errors=True)  # orphan of a prior crash
+    os.replace(tmp, out / gen)
+    prev_max = meta.get("max_vec_id")
+    new_meta = {
+        **meta,
+        "n_rows": int(meta["n_rows"] + n_new),
+        "generations": gens + [gen],
+        "max_vec_id": (
+            new_max if prev_max is None
+            else (prev_max if new_max is None else max(prev_max, new_max))
+        ),
+        "n_base_rows": int(meta.get("n_base_rows", meta["n_rows"])),
+        "n_appended": int(meta.get("n_appended", 0) + n_new),
+    }
+    marker_tmp = out / (_MARKER + ".tmp")
+    marker_tmp.write_text(json.dumps(new_meta))
+    os.replace(marker_tmp, marker_path)
+    if new_meta["n_appended"] > retrain_frac * max(new_meta["n_base_rows"], 1):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ANN index %s has %d appended rows vs %d base rows "
+            "(> retrain_frac=%.2f): centroids were trained before the "
+            "appends, so pruned-probe recall may be degraded — rebuild "
+            "with build_ann_index to retrain",
+            out, new_meta["n_appended"], new_meta["n_base_rows"],
+            retrain_frac,
+        )
+    return new_meta
 
 
 class AnnIndex:
@@ -148,8 +297,12 @@ class AnnIndex:
         exclude: int | None = None,
     ) -> pa.Table:
         probe = self.probe_clusters(query_vec, nprobe)
+        # every live generation tree (base build + appends) contributes its
+        # probed cluster directories; trees not listed in the marker (e.g.
+        # a crashed append's orphan) are never read
         dirs = [
-            str(self.out_dir / "assign" / f"cluster={int(c)}")
+            str(self.out_dir / gen / f"cluster={int(c)}")
+            for gen in self.meta.get("generations", ["assign"])
             for c in probe
         ]
         # a LIST of paths must be files, not dirs, for ray's parquet reader

@@ -48,15 +48,22 @@ _TOKEN = re.compile(r"[a-z]+")
 _B = np.uint64(1099511628211)  # FNV-64 prime as the rolling multiplier
 
 _HASH_MEMO: dict[str, np.uint64] = {}
+# long-lived workers stream unbounded vocabularies; cap the per-process memo
+# (same discipline as dedup._CHARPOLY_MEMO) so it never grows past the hot
+# head of the token distribution on a 100 TB corpus
+_HASH_MEMO_MAX = 1_000_000
 
 
 def _token_hash(tok: str) -> np.uint64:
     h = _HASH_MEMO.get(tok)
     if h is None:
-        h = _HASH_MEMO[tok] = np.uint64(
+        h = np.uint64(
             int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
                            "little")
         )
+        if len(_HASH_MEMO) >= _HASH_MEMO_MAX:
+            _HASH_MEMO.clear()
+        _HASH_MEMO[tok] = h
     return h
 
 

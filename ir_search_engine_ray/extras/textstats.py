@@ -269,15 +269,24 @@ def unigram_logprob(
         raise ValueError(f"top_v must be >= 1, got {top_v}")
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            cnt.update(_tokens(t))
+        # flat token array -> one np.unique (the spans.gram_rows pattern):
+        # measurably faster than a per-token Counter loop on fat batches
+        tok_lists = [_tokens(t) for t in batch["text"].to_pylist()]
+        if not any(tok_lists):
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_lists if t]
+        )
+        uniq, cnt = np.unique(flat, return_counts=True)
         return pa.table(
             {
-                "term": pa.array(list(cnt.keys()), type=pa.string()),
-                "cnt": pa.array(list(cnt.values()), type=pa.int64()),
+                "term": pa.array(uniq, type=pa.string()),
+                "cnt": pa.array(cnt, type=pa.int64()),
             }
         )
 

@@ -2427,6 +2427,25 @@ class TestSpanDedup:
                 "solo run one two three four five six seven eight"),
         ]
 
+    def test_token_hash_memo_is_bounded(self):
+        """The per-worker token-hash memo caps at _HASH_MEMO_MAX (round-5
+        fix): a long-lived worker streaming a 100 TB vocabulary must not
+        accumulate the full distinct-token set."""
+        from ir_search_engine_ray.extras import spans
+
+        spans._HASH_MEMO.clear()
+        old_max = spans._HASH_MEMO_MAX
+        try:
+            spans._HASH_MEMO_MAX = 100
+            vals = {t: spans._token_hash(t) for t in (f"tok{i}" for i in range(350))}
+            assert len(spans._HASH_MEMO) <= 100
+            # hashing stays deterministic across the cap resets
+            for t, v in list(vals.items())[:50]:
+                assert spans._token_hash(t) == v
+        finally:
+            spans._HASH_MEMO_MAX = old_max
+            spans._HASH_MEMO.clear()
+
     def test_known_coverage_and_partition_independence(self, ray_session):
         import ray.data
 
@@ -2647,6 +2666,144 @@ class TestAnnIndex:
             np.vstack(got["projection"]), np.vstack(want["projection"])
         )
 
+
+    @staticmethod
+    def _emb(X: np.ndarray, ids: np.ndarray, nb: int = 2):
+        import ray.data
+
+        n, d = X.shape
+        off = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array(off), pa.array(X.ravel())
+                    ),
+                }
+            )
+        ).repartition(nb)
+
+    def test_append_stays_exact_across_generations(self, ray_session, tmp_path):
+        """append_ann_index (round 5): new vectors land in a new generation
+        tree assigned to the EXISTING centroids; full probe over the
+        appended index == brute force over the union, pruned probe == the
+        exact ranking restricted to the probed clusters' members across
+        ALL generations, and an orphan generation from a crashed append is
+        never served."""
+        import pyarrow.parquet as pqt
+
+        from ir_search_engine_ray.extras import ann
+        from ir_search_engine_ray.extras.ann_index import (
+            AnnIndex,
+            append_ann_index,
+            build_ann_index,
+        )
+
+        rng = np.random.default_rng(17)
+        d = 12
+        X = rng.normal(size=(200, d))
+        base, extra, extra2 = X[:120], X[120:170], X[170:]
+        out = tmp_path / "ann"
+        build_ann_index(self._emb(base, np.arange(120)), out, nlist=6)
+        # crash simulation: an orphan generation dir NOT in the marker
+        orphan = out / "assign-g0001" / "cluster=0"
+        orphan.mkdir(parents=True)
+        pqt.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([999_999], type=pa.int64()),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array([0, d], type=pa.int32()),
+                        pa.array(np.zeros(d)),
+                    ),
+                }
+            ),
+            orphan / "junk.parquet",
+        )
+        q = X[7]
+        got = AnnIndex(out).query(q, k=10, nprobe=6, exclude=7)
+        assert 999_999 not in got["vec_id"].to_pylist()  # orphan unserved
+        # append twice (the second proves generation numbering continues)
+        m1 = append_ann_index(self._emb(extra, np.arange(120, 170)), out)
+        assert m1["generations"] == ["assign", "assign-g0001"]
+        assert m1["n_rows"] == 170 and m1["n_appended"] == 50
+        m2 = append_ann_index(self._emb(extra2, np.arange(170, 200)), out)
+        assert m2["generations"][-1] == "assign-g0002"
+        assert m2["n_rows"] == 200 and m2["max_vec_id"] == 199
+        idx = AnnIndex(out)
+        union = self._emb(X, np.arange(200), 4)
+        for qi in (3, 150, 185):
+            qv = X[qi]
+            # full probe == exact brute force over base + both appends
+            assert idx.query(qv, k=10, nprobe=6, exclude=qi).equals(
+                ann.cosine_topk(union, qv, 10, exclude=qi)
+            ), qi
+        # pruned probe == exact restricted to probed members, generations
+        # included
+        probe = idx.probe_clusters(q, 2)
+        member = set()
+        for gen in idx.meta["generations"]:
+            for c in probe:
+                cdir = out / gen / f"cluster={int(c)}"
+                if cdir.is_dir():
+                    member |= set(
+                        pqt.read_table(cdir, columns=["vec_id"])[
+                            "vec_id"
+                        ].to_pylist()
+                    )
+        got = idx.query(q, k=10, nprobe=2, exclude=7)
+        assert set(got["vec_id"].to_pylist()) <= member
+        restricted = union.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(
+                    b["vec_id"], value_set=pa.array(sorted(member))
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        assert got.equals(ann.cosine_topk(restricted, q, 10, exclude=7))
+
+    def test_append_guards(self, ray_session, tmp_path, caplog):
+        from ir_search_engine_ray.extras.ann_index import (
+            append_ann_index,
+            build_ann_index,
+        )
+
+        rng = np.random.default_rng(23)
+        out = tmp_path / "ann"
+        build_ann_index(self._emb(rng.normal(size=(60, 8)), np.arange(60)),
+                        out, nlist=4)
+        # overlapping ids are rejected (they would be served twice)
+        with pytest.raises(ValueError, match="must sort after"):
+            append_ann_index(
+                self._emb(rng.normal(size=(10, 8)),
+                          np.arange(55, 65)), out
+            )
+        # dim mismatch is rejected
+        with pytest.raises(ValueError, match="dim"):
+            append_ann_index(
+                self._emb(rng.normal(size=(10, 5)),
+                          np.arange(60, 70)), out
+            )
+        # no index -> explicit error
+        with pytest.raises(FileNotFoundError, match="_ANN_SUCCESS"):
+            append_ann_index(
+                self._emb(rng.normal(size=(4, 8)),
+                          np.arange(100, 104)),
+                tmp_path / "nope",
+            )
+        # past retrain_frac the append warns to rebuild
+        import logging
+
+        with caplog.at_level(logging.WARNING,
+                             logger="ir_search_engine_ray.extras.ann_index"):
+            append_ann_index(
+                self._emb(rng.normal(size=(40, 8)),
+                          np.arange(60, 100)), out,
+                retrain_frac=0.5,
+            )
+        assert any("retrain" in r.message for r in caplog.records)
 
     def test_rebuild_replaces_and_refuses_foreign_dirs(
         self, ray_session, tmp_path
