@@ -689,6 +689,46 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_append_full(sf_dir: str) -> pa.Table:
+    """Persisted-IVF incremental append, driver-checked end to end: build
+    the index over the FIRST HALF of the embeddings, ``append_ann_index``
+    the second half (assigned to the existing centroids, written as a new
+    generation tree — no retrain, no rewrite), then query with a full
+    probe set.  Full probe is exact, so the result must equal the exact
+    cosine top-k over the WHOLE table — the same SQL oracle as
+    ``ann_ivf_full`` — proving appended generations are served and the
+    marker bookkeeping is right."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+
+    from ..extras.ann_index import AnnIndex, append_ann_index, build_ann_index
+
+    emb = _emb_ds(sf_dir)
+    mid = emb.count() // 2
+    base = emb.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], mid)), batch_format="pyarrow"
+    )
+    extra = emb.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], mid)),
+        batch_format="pyarrow",
+    )
+    root = Path(tempfile.mkdtemp(prefix="graft_ann_append_"))
+    try:
+        out = root / "idx"
+        build_ann_index(base, out, nlist=16)
+        append_ann_index(extra, out)
+        idx = AnnIndex(out)
+        return idx.query(
+            _query_vec(sf_dir, 0), k=10,
+            nprobe=idx.meta["nlist"], exclude=0,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_distinct_users_hll(sf_dir: str) -> pa.Table:
     """HyperLogLog distinct user count over the events table — the
     bounded-memory cardinality sketch (2^p registers cross the shuffle,
@@ -1737,6 +1777,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
         "ann_cosine_topk": _SQL_ANN_EXACT,
         "ann_ivf_full": _SQL_ANN_EXACT,
+        "ann_append_full": _SQL_ANN_EXACT,
         "ann_lsh_full": _SQL_ANN_EXACT,
         "ann_batch_topk": """
 WITH q AS (
@@ -2147,6 +2188,7 @@ def build_queries() -> dict:
         "bigram_counts": q_bigram_counts,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_full": q_ann_ivf_full,
+        "ann_append_full": q_ann_append_full,
         "ann_batch_topk": q_ann_batch_topk,
         "embedding_neardup": q_embedding_neardup,
         "event_windows": q_event_windows,

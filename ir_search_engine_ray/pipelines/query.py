@@ -97,6 +97,7 @@ class ShardState:
 
         self.attrs_dir = attrs_dir
         self._attr_cache: dict[str, tuple[np.ndarray, list]] = {}
+        self._mask_cache: dict[tuple, np.ndarray] = {}
         tables = [pq.read_table(f) for f in sorted(files)]
         t = pa.concat_tables(tables) if tables else None
         self.terms: dict[str, _TermData] = {}
@@ -165,51 +166,57 @@ class ShardState:
         self,
         terms: list[str],
         weights: np.ndarray,
-        scheme: str | None = None,
+        scheme: str,
         mask: np.ndarray | None = None,
     ):
-        """(query weight, term data) for the query terms present locally.
+        """(query weight, term data) for the query terms present locally,
+        in the CANONICAL processing order: descending ``wq * ub``, stable
+        (ties keep query order).  Every scoring algorithm iterates this
+        same order, so each doc's contributions are added in the identical
+        float sequence — exhaustive / maxscore / block-max WAND produce
+        BIT-IDENTICAL scores, not merely close ones (float addition is not
+        associative; per-algorithm orders diverged by one ulp at sf1).
 
         With ``mask`` (an allowed-docs span mask from :meth:`allowed_mask`)
         each term's postings are RESTRICTED to allowed docs and the
         window/upper-bound stats recomputed over the restriction — so the
-        pruned algorithms (maxscore / block-max WAND) stay exact under
-        metadata filters while skipping disallowed-doc work: a bound over
-        the masked postings is by construction filter-aware."""
+        pruned algorithms stay exact under metadata filters while skipping
+        disallowed-doc work: a bound over the masked postings is by
+        construction filter-aware."""
         found = [
             (float(weights[qi]), self.terms[term])
             for qi, term in enumerate(terms)
             if term in self.terms and weights[qi] != 0.0
         ]
-        if mask is None:
-            return found
-        masked = []
-        for wq, d in found:
-            sel = mask[d.ids - self.doc_lo]
-            if not sel.any():
-                continue
-            ids = d.ids[sel]
-            wn = d.wn[scheme][sel]
-            win = (ids - self.doc_lo) // WINDOW
-            new_seg = np.empty(ids.size, dtype=bool)
-            new_seg[0] = True
-            np.not_equal(win[1:], win[:-1], out=new_seg[1:])
-            seg_starts = np.flatnonzero(new_seg)
-            wmax = np.maximum.reduceat(wn, seg_starts)
-            masked.append(
-                (
-                    wq,
-                    _TermData(
-                        ids=ids,
-                        wn={scheme: wn},
-                        win_ids=win[seg_starts],
-                        seg_starts=seg_starts,
-                        wmax={scheme: wmax},
-                        ub={scheme: float(wmax.max())},
-                    ),
+        if mask is not None:
+            masked = []
+            for wq, d in found:
+                sel = mask[d.ids - self.doc_lo]
+                if not sel.any():
+                    continue
+                ids = d.ids[sel]
+                wn = d.wn[scheme][sel]
+                win = (ids - self.doc_lo) // WINDOW
+                new_seg = np.empty(ids.size, dtype=bool)
+                new_seg[0] = True
+                np.not_equal(win[1:], win[:-1], out=new_seg[1:])
+                seg_starts = np.flatnonzero(new_seg)
+                wmax = np.maximum.reduceat(wn, seg_starts)
+                masked.append(
+                    (
+                        wq,
+                        _TermData(
+                            ids=ids,
+                            wn={scheme: wn},
+                            win_ids=win[seg_starts],
+                            seg_starts=seg_starts,
+                            wmax={scheme: wmax},
+                            ub={scheme: float(wmax.max())},
+                        ),
+                    )
                 )
-            )
-        return masked
+            found = masked
+        return sorted(found, key=lambda x: -(x[0] * x[1].ub[scheme]))
 
     @property
     def _span(self) -> int:
@@ -223,14 +230,12 @@ class ShardState:
         k: int,
         mask: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
-        found = self._gather(terms, weights)
+        found = self._gather(terms, weights, scheme, mask)
         if not found:
             return []
         acc = np.zeros(self._span, dtype=np.float64)
         for wq, d in found:
             acc[d.ids - self.doc_lo] += d.wn[scheme] * wq
-        if mask is not None:
-            acc[~mask] = 0.0
         nz = np.flatnonzero(acc)
         return topk_from_scores(nz + self.doc_lo, acc[nz], k)
 
@@ -274,7 +279,17 @@ class ShardState:
 
     def allowed_mask(self, filters: dict) -> np.ndarray:
         """Boolean span mask of docs matching EVERY filter (value or
-        collection of values per attribute column)."""
+        collection of values per attribute column).  Memoized per filter
+        key: a query workload typically reuses a handful of filters, and
+        the mask build is span-sized work that would otherwise repeat on
+        every query."""
+        key = tuple(
+            (col, (want,) if isinstance(want, str) else tuple(sorted(want)))
+            for col, want in sorted(filters.items())
+        )
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
         mask = np.ones(self._span, dtype=bool)
         for col, want in filters.items():
             codes, dictionary = self._attr_codes(col)
@@ -283,6 +298,9 @@ class ShardState:
             )
             keep = [i for i, v in enumerate(dictionary) if v in vals]
             mask &= np.isin(codes, np.array(keep, dtype=np.int32))
+        if len(self._mask_cache) >= 64:  # bound a long-lived actor's cache
+            self._mask_cache.clear()
+        self._mask_cache[key] = mask
         return mask
 
     def score_maxscore(
@@ -302,9 +320,9 @@ class ShardState:
         found = self._gather(terms, weights, scheme, mask)
         if not found:
             return []
-        ubs = sorted(
-            ((wq * d.ub[scheme], wq, d) for wq, d in found), key=lambda x: -x[0]
-        )
+        # found is already in descending wq*ub order (the canonical order
+        # every algorithm shares — see _gather)
+        ubs = [(wq * d.ub[scheme], wq, d) for wq, d in found]
         span = self._span
         acc = np.zeros(span, dtype=np.float64)
         touched = np.zeros(span, dtype=bool)

@@ -75,6 +75,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "curated_docs",
         "dedup_clusters",
         "ann_ivf_full",
+        "ann_append_full",
         "ann_lsh_full",
         "ann_batch_topk",
         "event_windows_hopping",
