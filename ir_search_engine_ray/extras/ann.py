@@ -325,6 +325,10 @@ def _nearest_centroid(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 def assign_clusters(batch: pa.Table, *, cent_ref, id_col: str) -> pa.Table:
     cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    # strip parquet pandas metadata: a pa.Schema WITH metadata is
+    # unhashable and Ray's unify_schemas then warns "Failed to hash the
+    # schemas" in every reduce of the downstream cluster sort
+    batch = batch.replace_schema_metadata(None)
     if batch.num_rows == 0:
         return batch.append_column("cluster", pa.array([], type=pa.int32()))
     mat = _batch_matrix(batch)

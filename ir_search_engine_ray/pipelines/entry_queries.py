@@ -706,13 +706,23 @@ def q_ann_append_full(sf_dir: str) -> pa.Table:
 
     from ..extras.ann_index import AnnIndex, append_ann_index, build_ann_index
 
+    import pyarrow.parquet as _pq
+
     emb = _emb_ds(sf_dir)
-    mid = emb.count() // 2
+    # row count from the parquet footer: no job launch, and no Ray
+    # unify-schemas warning (count() over a multi-block parquet read logs
+    # "Failed to hash the schemas" — pandas metadata is unhashable)
+    mid = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows // 2
     base = emb.map_batches(
-        lambda b: b.filter(pc.less(b["vec_id"], mid)), batch_format="pyarrow"
+        lambda b: b.replace_schema_metadata(None).filter(
+            pc.less(b["vec_id"], mid)
+        ),
+        batch_format="pyarrow",
     )
     extra = emb.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["vec_id"], mid)),
+        lambda b: b.replace_schema_metadata(None).filter(
+            pc.greater_equal(b["vec_id"], mid)
+        ),
         batch_format="pyarrow",
     )
     root = Path(tempfile.mkdtemp(prefix="graft_ann_append_"))
