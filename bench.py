@@ -205,6 +205,97 @@ def bench_phrase(meta, sf_dir: str, rounds: int = 3) -> dict:
     return out
 
 
+def bench_r5_info(sf_dir: str) -> dict:
+    """Round-5 feature timings, info-only (NOT in the headline sum):
+    filtered retrieval on an attr-built index (filter-aware pruning keeps
+    maxscore exact under metadata filters — identity-asserted here), and
+    the persisted-IVF index lifecycle (build, O(new) append, pruned
+    query)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ir_search_engine_ray.config import IndexConfig, QueryConfig
+    from ir_search_engine_ray.datagen import fixture_dir
+    from ir_search_engine_ray.extras.ann_index import (
+        AnnIndex,
+        append_ann_index,
+        build_ann_index,
+    )
+    from ir_search_engine_ray.pipelines.index_build import build_index
+    from ir_search_engine_ray.pipelines.query import QueryEngine
+
+    out: dict[str, float] = {}
+    fx = fixture_dir(sf_dir)
+    idx = _fresh_dir(f"idx-attr-{Path(sf_dir).name}")
+    t0 = time.perf_counter()
+    meta = build_index(
+        fx / "transcripts",
+        idx,
+        IndexConfig(
+            mode="full",
+            attr_cols=("role",),
+            salt_buckets=salt_buckets_for(sf_dir),
+            tokenize_batch_size=tokenize_batch_for(sf_dir),
+        ),
+    )
+    out["attr_index_build_s"] = time.perf_counter() - t0
+    eng = QueryEngine(
+        meta, QueryConfig(scheme="w2", top_k=10, algorithm="maxscore")
+    )
+    texts = pq.read_table(fx / "queries.parquet")["text"].to_pylist()
+    filters = {"role": "user"}
+    for t in texts[:3]:  # warm actors + the memoized filter mask
+        assert eng.query(t, "w2", 10, "maxscore", filters=filters) == eng.query(
+            t, "w2", 10, "exhaustive", filters=filters
+        )
+    lat = []
+    for _ in range(3):
+        for t in texts:
+            q0 = time.perf_counter()
+            eng.query(t, filters=filters)
+            lat.append(time.perf_counter() - q0)
+    lat_ms = np.array(lat) * 1e3
+    out["filtered_query_p50_ms"] = float(np.percentile(lat_ms, 50))
+    out["filtered_query_p95_ms"] = float(np.percentile(lat_ms, 95))
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = ray.data.read_parquet(
+        emb_path, columns=["vec_id", "embedding"], override_num_blocks=8
+    )
+    mid = pq.read_metadata(emb_path).num_rows // 2
+    base = emb.map_batches(
+        lambda b: b.replace_schema_metadata(None).filter(
+            pc.less(b["vec_id"], mid)
+        ),
+        batch_format="pyarrow",
+    )
+    extra = emb.map_batches(
+        lambda b: b.replace_schema_metadata(None).filter(
+            pc.greater_equal(b["vec_id"], mid)
+        ),
+        batch_format="pyarrow",
+    )
+    ann_dir = _fresh_dir(f"ann-{Path(sf_dir).name}")
+    t0 = time.perf_counter()
+    build_ann_index(base, ann_dir)
+    out["ann_index_build_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    append_ann_index(extra, ann_dir, retrain_frac=1.0)
+    out["ann_append_s"] = time.perf_counter() - t0
+    handle = AnnIndex(ann_dir)
+    q_vec = np.array(
+        pq.read_table(emb_path, columns=["embedding"])["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    handle.query(q_vec, k=10, nprobe=4, exclude=0)  # warm
+    t0 = time.perf_counter()
+    handle.query(q_vec, k=10, nprobe=4, exclude=0)
+    out["ann_index_query_s"] = time.perf_counter() - t0
+    return out
+
+
 def bench_extras(sf_dir: str) -> dict:
     """Training-data extras over the driver's documents/embeddings tables."""
     import numpy as np
@@ -273,6 +364,7 @@ def run_main() -> None:
         k=8,
     ).count()
     span_dedup_s = time.perf_counter() - t0
+    r5_info = bench_r5_info(SF_DIR)
     extras_runs = [bench_extras(SF_DIR) for _ in range(reps)]
     extras = {k: min(r[k] for r in extras_runs) for k in extras_runs[0]}
     del t_all
@@ -304,6 +396,10 @@ def run_main() -> None:
         "positions_build_s": round(phrase["positions_build"], 3),
         "n_phrase_queries": phrase["n_phrase_queries"],
         "span_dedup_s": round(span_dedup_s, 3),
+        **{
+            k: round(v, 3 if k.endswith("_s") else 2)
+            for k, v in r5_info.items()
+        },
     }
     # shutdown FIRST, JSON LAST: Ray worker log lines can flush to stdout
     # after the result line otherwise, which breaks the driver's tail-parse
