@@ -32,6 +32,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Max
 
@@ -143,5 +144,235 @@ def hll_distinct(
         {
             "estimate": pa.array([int(round(est))], type=pa.int64()),
             "p": pa.array([p], type=pa.int64()),
+        }
+    )
+
+
+def sampled_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    sample: int = 65536,
+    seed: int = 7,
+) -> pa.Table:
+    """(quantile, value) rows from a seeded deterministic uniform sample —
+    the bounded-memory quantile path for columns whose DISTINCT count is
+    corpus-sized.
+
+    ``aggregates.exact_quantiles`` is exact, but its value-histogram
+    shuffle is bounded by the number of distinct values — right for
+    integer-ish columns (doc lengths), wrong for continuous scores
+    (logprobs, cosines) at corpus scale.  This estimator keeps the
+    ``sample`` rows whose seeded id-hash ranks are globally smallest (the
+    same order-free selection as ``ann.sample_embeddings``): every batch
+    emits its local smallest-``sample`` (rank, value) pairs — a bounded
+    partial, no shuffle — and the driver folds them into an O(sample)
+    buffer.  Quantiles are lower order statistics of the sampled values,
+    matching exact_quantiles' rank convention.
+
+    Deterministic and partition-invariant: the rank is a pure function of
+    the id, so the selected set — and therefore the estimate — does not
+    depend on block count or row order (asserted in tests).  When the
+    corpus has at most ``sample`` rows the sample IS the corpus and the
+    result is EXACT (equal to ``exact_quantiles``, and SQL-oracle
+    comparable); above that the quantile-rank error is the standard
+    sampling bound O(1/sqrt(sample)) in quantile mass.
+    """
+    from .ann import _sample_ranks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        r = _sample_ranks(ids, seed)
+        if r.size > sample:
+            keep = np.argpartition(r, sample - 1)[:sample]
+            r, vals = r[keep], vals[keep]
+        return pa.table(
+            {
+                "rank": pa.array(r.view(np.int64)),
+                "value": pa.array(vals),
+            }
+        )
+
+    best_r: np.ndarray | None = None
+    best_v: np.ndarray | None = None
+    for b in (
+        ds.select_columns([id_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if b.num_rows == 0:
+            continue
+        r = b["rank"].to_numpy().view(np.uint64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        if best_r is not None:
+            r = np.concatenate([best_r, r])
+            v = np.concatenate([best_v, v])
+        if r.size > sample:
+            keep = np.argpartition(r, sample - 1)[:sample]
+            r, v = r[keep], v[keep]
+        best_r, best_v = r, v
+    out_type = (
+        pa.int64()
+        if best_v is not None and np.issubdtype(best_v.dtype, np.integer)
+        else pa.float64()
+    )
+    if best_v is None or best_v.size == 0:
+        return pa.table(
+            {
+                "quantile": pa.array([], type=pa.float64()),
+                "value": pa.array([], type=out_type),
+            }
+        )
+    vals = np.sort(best_v)
+    s = vals.size
+    out_q = [float(q) for q in qs]
+    out_v = [vals[int(np.floor(q * (s - 1)))] for q in qs]
+    return pa.table(
+        {
+            "quantile": pa.array(out_q, type=pa.float64()),
+            "value": pa.array(out_v, type=out_type),
+        }
+    )
+
+
+def _mg_compress(
+    items: np.ndarray, counts: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduction to at most ``m`` counters: subtract the
+    (m+1)-th largest count from every counter and keep the positive ones
+    (Agarwal et al., Mergeable Summaries).  Each call removes at least
+    (m+1) x kth total mass, so the cumulative undercount of any item over
+    a whole run is < n / (m+1)."""
+    if items.size <= m:
+        return items, counts
+    kth = np.partition(counts, counts.size - (m + 1))[counts.size - (m + 1)]
+    keep = counts > kth
+    return items[keep], counts[keep] - kth
+
+
+def frequent_items(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    phi: float,
+    counters: int | None = None,
+) -> pa.Table:
+    """EXACT heavy hitters — every value whose count exceeds
+    ``floor(phi * n)`` (n = non-null rows), with its exact count — in two
+    bounded-memory, shuffle-free passes.
+
+    A plain ``groupby(col).count()`` shuffles one row per DISTINCT value —
+    at web scale (terms, URLs, shingles) that is corpus-sized.  The
+    standard fix is candidates-then-recount: pass 1 runs a Misra-Gries
+    summary (``m`` counters, default ``ceil(2/phi)``) per batch — exact
+    in-batch ``value_counts`` compressed by :func:`_mg_compress` — and the
+    driver folds the bounded partials into one m-counter summary.  MG
+    guarantees every value with true count > n/(m+1) survives, and
+    ``m >= 2/phi`` makes n/(m+1) < the reporting threshold, so the
+    survivor set is a SUPERSET of the answer for ANY partitioning.
+    Pass 2 broadcasts the <= m candidates and exactly recounts ONLY them
+    (per-batch ``is_in`` filter + ``value_counts`` partials, folded on the
+    driver) — so the final counts, and the thresholded answer, are EXACT
+    and partition-invariant (asserted in tests), unlike a one-pass sketch.
+
+    Driver memory is O(m); each pass moves O(m) rows per batch; the input
+    is consumed twice (recomputed if lazy — the price of two passes).
+    Raises if ``phi * n < 1`` (threshold 0 would need every distinct
+    value as a candidate; raise ``counters`` or use an exact groupby).
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    m = int(counters) if counters is not None else int(np.ceil(2.0 / phi))
+    if m + 1 <= 1.0 / phi:
+        raise ValueError(
+            f"counters={m} too small for phi={phi}: need counters+1 > 1/phi"
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().drop_null()
+        if pa.types.is_dictionary(v.type):
+            v = v.cast(v.type.value_type)
+        vc = pc.value_counts(v)
+        items = vc.field("values")
+        counts = vc.field("counts").to_numpy()
+        keep_i, keep_c = _mg_compress(
+            np.arange(len(items), dtype=np.int64), counts, m
+        )
+        out_items = items.take(pa.array(keep_i))
+        # one null-item marker row per batch carries the non-null row
+        # count so the driver learns n without a second aggregate
+        return pa.table(
+            {
+                "item": pa.concat_arrays(
+                    [out_items, pa.array([None], type=out_items.type)]
+                ),
+                "cnt": pa.array(
+                    np.concatenate([keep_c, [len(v)]]), type=pa.int64()
+                ),
+            }
+        )
+
+    summary: dict = {}
+    n = 0
+    item_type = None
+    src = ds.select_columns([col])
+    for b in src.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if item_type is None and b.num_rows:
+            item_type = b["item"].type
+        for it, c in zip(b["item"].to_pylist(), b["cnt"].to_pylist()):
+            if it is None:
+                n += c
+            else:
+                summary[it] = summary.get(it, 0) + c
+        if len(summary) > 2 * m:
+            arr = np.fromiter(summary.values(), dtype=np.int64)
+            keys = np.array(list(summary.keys()), dtype=object)
+            ki, kc = _mg_compress(keys, arr, m)
+            summary = dict(zip(ki.tolist(), kc.tolist()))
+    if item_type is None:
+        item_type = pa.string()
+    thr = int(np.floor(phi * n))
+    if n and thr < n / (m + 1):
+        raise ValueError(
+            f"phi*n ({phi * n:.2f}) too small for counters={m}: the "
+            "candidate guarantee needs floor(phi*n) >= n/(counters+1); "
+            "raise counters or phi"
+        )
+    if not summary:
+        return pa.table(
+            {col: pa.array([], type=item_type),
+             "cnt": pa.array([], type=pa.int64())}
+        )
+
+    cand = pa.array(list(summary.keys()), type=item_type)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().drop_null()
+        if pa.types.is_dictionary(v.type):
+            v = v.cast(v.type.value_type)
+        v = v.filter(pc.is_in(v, value_set=cand))
+        vc = pc.value_counts(v)
+        return pa.table(
+            {"item": vc.field("values"),
+             "cnt": pa.array(vc.field("counts").to_numpy(), type=pa.int64())}
+        )
+
+    exact: dict = {}
+    for b in src.map_batches(recount, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for it, c in zip(b["item"].to_pylist(), b["cnt"].to_pylist()):
+            exact[it] = exact.get(it, 0) + c
+    hits = [(it, c) for it, c in exact.items() if c > thr]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return pa.table(
+        {
+            col: pa.array([h[0] for h in hits], type=item_type),
+            "cnt": pa.array([h[1] for h in hits], type=pa.int64()),
         }
     )

@@ -45,6 +45,7 @@ from ..extras import (
     packing,
     pii,
     semistructured,
+    sketches,
     spans,
     splits,
     textclean,
@@ -747,8 +748,6 @@ def q_distinct_users_hll(sf_dir: str) -> pa.Table:
     driver records the rows-only check; the estimate is nonetheless
     DETERMINISTIC for a given input (max-merge is partitioning-invariant,
     asserted in tests) and its error bound is pinned by pytest."""
-    from ..extras import sketches
-
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"],
         override_num_blocks=8,
@@ -935,10 +934,46 @@ def q_doclen_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def q_doclen_quantiles_sampled(sf_dir: str) -> pa.Table:
+    """Bounded-memory quantile sketch (seeded deterministic uniform
+    sample, O(sample) driver buffer, no shuffle).  ``sample`` exceeds the
+    driver corpora, so the sample IS the corpus and the result is EXACT —
+    same SQL oracle as ``doclen_quantiles``; at 100 TB the same operator
+    degrades gracefully to the O(1/sqrt(sample)) quantile-rank bound
+    (tested), which exact_quantiles' distinct-value histogram cannot do
+    for continuous score columns."""
+    return sketches.sampled_quantiles(
+        _docs_ds(sf_dir), "n_chars", sample=1_000_000
+    )
+
+
 def q_top_terms_lang(sf_dir: str) -> ray.data.Dataset:
     return aggregates.top_terms_per_group(
         _docs_ds(sf_dir), group_col="lang", k=10
     )
+
+
+def q_frequent_terms(sf_dir: str) -> pa.Table:
+    """Exact heavy hitters (terms with count > floor(phi*n) over the
+    simple-split token stream) via the Misra-Gries candidates -> exact
+    broadcast recount two-pass — bounded driver memory, NO shuffle, vs
+    the distinct-value-sized groupby a naive GROUP BY term needs."""
+    import re
+
+    tok = re.compile(r"[a-z]+")
+
+    def to_terms(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            out.extend(tok.findall(text.lower()))
+        return pa.table({"term": pa.array(out, type=pa.string())})
+
+    terms = (
+        _docs_ds(sf_dir)
+        .select_columns(["text"])
+        .map_batches(to_terms, batch_format="pyarrow")
+    )
+    return sketches.frequent_items(terms, "term", phi=0.005)
 
 
 def q_doclen_quantiles_by_lang(sf_dir: str) -> ray.data.Dataset:
@@ -1880,6 +1915,32 @@ SELECT CAST(q.q AS DOUBLE) AS quantile, r.v AS value
 FROM (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
 JOIN r ON r.rnk = CAST(floor(q.q * ((SELECT n FROM n) - 1)) AS BIGINT)
 """,
+        # Sampled estimator: sample (1M) exceeds every driver corpus, so
+        # the sample IS the corpus and the estimate is EXACT — same SQL.
+        "doclen_quantiles_sampled": """
+WITH r AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars) - 1 AS rnk
+           FROM documents),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(q.q AS DOUBLE) AS quantile, r.v AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
+JOIN r ON r.rnk = CAST(floor(q.q * ((SELECT n FROM n) - 1)) AS BIGINT)
+""",
+        # exact-by-construction (pass 2 recount), so plain SQL counting
+        # with the same floor(phi*n) threshold is the oracle
+        "frequent_terms": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM toks)
+SELECT term, count(*) AS cnt
+FROM toks
+GROUP BY term
+HAVING count(*) > CAST(floor(0.005 * (SELECT n FROM n)) AS BIGINT)
+ORDER BY cnt DESC, term ASC
+""",
         "top_terms_lang": """
 WITH toks AS (
   SELECT lang,
@@ -2215,7 +2276,9 @@ def build_queries() -> dict:
         "asof_attribution": q_asof_attribution,
         "line_dedup": q_line_dedup,
         "doclen_quantiles": q_doclen_quantiles,
+        "doclen_quantiles_sampled": q_doclen_quantiles_sampled,
         "top_terms_lang": q_top_terms_lang,
+        "frequent_terms": q_frequent_terms,
         "pack_sequences": q_pack_sequences,
         "event_session_join": q_event_session_join,
         "event_campaign_join": q_event_campaign_join,

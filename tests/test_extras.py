@@ -2922,6 +2922,162 @@ class TestHLL:
         assert regs == want
 
 
+class TestSampledQuantiles:
+    """Bounded-memory sampled quantiles (extras/sketches.py)."""
+
+    @staticmethod
+    def _ds(values, num_blocks=1):
+        import ray.data
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(values)), type=pa.int64()),
+                "v": pa.array(values),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+    def test_exact_below_cap_and_partition_invariant(self, ray_session):
+        from ir_search_engine_ray.extras import aggregates, sketches
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 500, size=3000).tolist()
+        want = aggregates.exact_quantiles(self._ds(vals), "v")
+        for nb in (1, 7):
+            got = sketches.sampled_quantiles(
+                self._ds(vals, nb), "v", id_col="doc_id", sample=4096
+            )
+            # sample >= corpus: the sample IS the corpus, result is exact
+            assert got.equals(want), (got, want)
+
+    def test_rank_error_bound_above_cap(self, ray_session):
+        from ir_search_engine_ray.extras import sketches
+
+        n, sample = 20_000, 2048
+        rng = np.random.default_rng(5)
+        vals = rng.normal(size=n)  # continuous: histograms can't bound this
+        ordered = np.sort(vals)
+        outs = []
+        for nb in (1, 9):
+            got = sketches.sampled_quantiles(
+                self._ds(vals.tolist(), nb), "v", id_col="doc_id",
+                sample=sample,
+            )
+            outs.append(got)
+            for q, v in zip(
+                got["quantile"].to_pylist(), got["value"].to_pylist()
+            ):
+                # realized quantile-rank of the estimate vs the target,
+                # within 4/sqrt(sample) (~0.088) of q
+                rank = np.searchsorted(ordered, v) / (n - 1)
+                assert abs(rank - q) < 4 / np.sqrt(sample), (q, rank)
+        # the rank is a pure function of the id: the selected sample — and
+        # the estimate — is EXACTLY independent of partitioning
+        assert outs[0].equals(outs[1])
+
+    def test_empty_and_dtype(self, ray_session):
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        got = sketches.sampled_quantiles(empty, "v", id_col="doc_id")
+        assert got.num_rows == 0
+        assert got.schema.names == ["quantile", "value"]
+        # float input stays float; int input comes back int64
+        fl = sketches.sampled_quantiles(
+            self._ds([0.5, 1.5, 2.5, 3.5]), "v", id_col="doc_id"
+        )
+        assert fl["value"].type == pa.float64()
+        it = sketches.sampled_quantiles(
+            self._ds([5, 1, 9, 3]), "v", id_col="doc_id"
+        )
+        assert it["value"].type == pa.int64()
+
+
+class TestFrequentItems:
+    """Exact heavy hitters via MG candidates + recount (extras/sketches.py)."""
+
+    @staticmethod
+    def _make(vals, num_blocks=1):
+        import ray.data
+
+        t = pa.table({"v": pa.array(vals)})
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+    def test_exact_and_partition_invariant(self, ray_session):
+        from collections import Counter
+
+        from ir_search_engine_ray.extras import sketches
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate(
+            [np.repeat(np.arange(10), 500),
+             rng.integers(100, 5000, size=15000)]
+        )
+        rng.shuffle(vals)
+        strs = [f"v{int(x)}" for x in vals]
+        truth = Counter(strs)
+        thr = int(np.floor(0.01 * len(strs)))
+        want = sorted(
+            ((k, c) for k, c in truth.items() if c > thr),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for nb in (1, 8):
+            got = sketches.frequent_items(
+                self._make(strs, nb), "v", phi=0.01, counters=256
+            )
+            assert (
+                list(zip(got["v"].to_pylist(), got["cnt"].to_pylist()))
+                == want
+            )
+
+    def test_small_counters_still_exact(self, ray_session):
+        """The MG superset guarantee holds at the minimum legal counter
+        budget — the recount pass makes the final answer exact anyway."""
+        from collections import Counter
+
+        from ir_search_engine_ray.extras import sketches
+
+        rng = np.random.default_rng(9)
+        vals = rng.zipf(1.3, size=30000)
+        vals = vals[vals < 10_000]
+        thr = int(np.floor(0.02 * len(vals)))
+        truth = Counter(int(x) for x in vals)
+        want = sorted(
+            ((k, c) for k, c in truth.items() if c > thr),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = sketches.frequent_items(
+            self._make(vals.astype(np.int64), 6), "v", phi=0.02, counters=51
+        )
+        assert list(zip(got["v"].to_pylist(), got["cnt"].to_pylist())) == want
+        assert got["v"].type == pa.int64()
+
+    def test_guards(self, ray_session):
+        from ir_search_engine_ray.extras import sketches
+
+        ds = self._make(["a", "b"] * 50)
+        with pytest.raises(ValueError, match="counters.*too small"):
+            sketches.frequent_items(ds, "v", phi=0.01, counters=64)
+        with pytest.raises(ValueError, match="phi must be"):
+            sketches.frequent_items(ds, "v", phi=1.5)
+        # phi*n < 1: threshold 0 cannot be served by a bounded candidate set
+        with pytest.raises(ValueError, match="phi\\*n"):
+            sketches.frequent_items(
+                self._make([f"u{i}" for i in range(50)]), "v", phi=0.001
+            )
+
+
 class TestSpanKernelsProperty:
     def test_kernel_chain_matches_naive(self):
         """Hypothesis: gram_rows -> _dup_starts -> _doc_rollup (single

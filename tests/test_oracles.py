@@ -58,9 +58,7 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
+ORACLED = [
         "token_count_bpe",
         "phrase_simple",
         "phrase_positions",
@@ -84,6 +82,8 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "asof_attribution",
         "line_dedup",
         "doclen_quantiles",
+        "doclen_quantiles_sampled",
+        "frequent_terms",
         "top_terms_lang",
         "pack_sequences",
         "event_session_join",
@@ -121,8 +121,18 @@ def _assert_query_matches_oracle(con, name: str, ray_session):
         "topk_w1_simple",
         "topk_w2_simple",
         "topk_w2_snippet",
-    ],
-)
+]
+
+
+def test_oracle_gate_is_complete():
+    """Every query with an oracle_sql entry must be in the gated list —
+    a new oracled query can't silently skip the in-repo oracle gate."""
+    from ir_search_engine_ray.pipelines.entry_queries import build_oracle_sql
+
+    assert set(ORACLED) == set(build_oracle_sql(SF).keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
 def test_new_oracles_match(con, name, ray_session):
     _assert_query_matches_oracle(con, name, ray_session)
 
