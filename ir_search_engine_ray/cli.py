@@ -262,6 +262,68 @@ def _cmd_curate(args) -> None:
     )
 
 
+def _cmd_freq(args) -> None:
+    """Exact heavy hitters over a parquet column (count > floor(phi*n));
+    --tokens treats the column as text and counts its simple-split token
+    stream instead of whole values.  Bounded result -> JSON lines."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import sketches
+
+    ds = ray.data.read_parquet(
+        args.parquet, columns=[args.col], override_num_blocks=16
+    )
+    col = args.col
+    if args.tokens:
+        import re
+
+        import pyarrow as pa
+
+        tok = re.compile(r"[a-z]+")
+        src_col = col
+
+        def to_terms(batch):
+            out = []
+            for text in batch[src_col].to_pylist():
+                out.extend(tok.findall(text.lower()))
+            return pa.table({"term": pa.array(out, type=pa.string())})
+
+        ds = ds.map_batches(to_terms, batch_format="pyarrow")
+        col = "term"
+    t = sketches.frequent_items(
+        ds, col, phi=args.phi, counters=args.counters
+    )
+    for item, cnt in zip(t[col].to_pylist(), t["cnt"].to_pylist()):
+        print(json.dumps({col: item, "cnt": cnt}))
+
+
+def _cmd_quantiles(args) -> None:
+    """Quantiles of a parquet column: exact distinct-value-histogram path
+    by default, or the bounded-memory sampled sketch with --sample."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import aggregates, sketches
+
+    qs = tuple(float(x) for x in args.qs.split(","))
+    if args.sample:
+        ds = ray.data.read_parquet(
+            args.parquet, columns=[args.id_col, args.col],
+            override_num_blocks=16,
+        )
+        t = sketches.sampled_quantiles(
+            ds, args.col, id_col=args.id_col, qs=qs, sample=args.sample
+        )
+    else:
+        ds = ray.data.read_parquet(
+            args.parquet, columns=[args.col], override_num_blocks=16
+        )
+        t = aggregates.exact_quantiles(ds, args.col, qs=qs)
+    for q, v in zip(t["quantile"].to_pylist(), t["value"].to_pylist()):
+        print(json.dumps({"quantile": q, "value": v}))
+
+
 def _cmd_pii(args) -> None:
     import ray.data
 
@@ -677,6 +739,34 @@ def main(argv: list[str] | None = None) -> None:
     fz.add_argument("terms", help="space-separated probe terms")
     fz.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     fz.set_defaults(fn=_cmd_fuzzy)
+
+    fr = sub.add_parser(
+        "freq",
+        help="exact heavy hitters over a parquet column (MG + recount)",
+    )
+    fr.add_argument("parquet")
+    fr.add_argument("col")
+    fr.add_argument("--phi", type=float, default=0.005,
+                    help="report values with count > floor(phi*n)")
+    fr.add_argument("--counters", type=int, default=None,
+                    help="MG counter budget (default ceil(2/phi))")
+    fr.add_argument("--tokens", action="store_true",
+                    help="count the column's simple-split token stream")
+    fr.set_defaults(fn=_cmd_freq)
+
+    qu = sub.add_parser(
+        "quantiles",
+        help="column quantiles: exact histogram, or sampled with --sample",
+    )
+    qu.add_argument("parquet")
+    qu.add_argument("col")
+    qu.add_argument("--qs", default="0.25,0.5,0.75,0.95",
+                    help="comma-separated quantiles")
+    qu.add_argument("--sample", type=int, default=None,
+                    help="bounded-memory sampled sketch with this cap")
+    qu.add_argument("--id-col", default="doc_id",
+                    help="id column for the deterministic sample ranks")
+    qu.set_defaults(fn=_cmd_quantiles)
 
     st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
     st.add_argument("index_dir")

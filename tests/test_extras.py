@@ -3077,6 +3077,58 @@ class TestFrequentItems:
                 self._make([f"u{i}" for i in range(50)]), "v", phi=0.001
             )
 
+    def test_cli_freq_and_quantiles(self, ray_session, tmp_path, capsys):
+        """The freq / quantiles CLI verbs print JSON lines matching the
+        library results (freq --tokens over text; quantiles exact ==
+        sampled when the sample covers the file)."""
+        import argparse
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.cli import _cmd_freq, _cmd_quantiles
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), type=pa.int64()),
+                "text": pa.array(
+                    ["aa bb aa", "aa cc", "aa bb", "dd", "aa", "bb aa"]
+                ),
+                "n_chars": pa.array([8, 5, 5, 2, 2, 5], type=pa.int64()),
+            }
+        )
+        f = str(tmp_path / "docs.parquet")
+        pq.write_table(t, f)
+        _cmd_freq(
+            argparse.Namespace(
+                parquet=f, col="text", phi=0.2, counters=None, tokens=True
+            )
+        )
+        rows = [
+            _json.loads(x) for x in capsys.readouterr().out.splitlines() if x
+        ]
+        # 11 tokens, thr = floor(0.2*11) = 2: aa(6) and bb(3) qualify
+        assert rows == [
+            {"term": "aa", "cnt": 6},
+            {"term": "bb", "cnt": 3},
+        ]
+        for sample in (None, 100):
+            _cmd_quantiles(
+                argparse.Namespace(
+                    parquet=f, col="n_chars", qs="0.5,0.95",
+                    sample=sample, id_col="doc_id",
+                )
+            )
+            out = [
+                _json.loads(x)
+                for x in capsys.readouterr().out.splitlines() if x
+            ]
+            # sorted [2,2,5,5,5,8]: ranks floor(.5*5)=2 and floor(.95*5)=4
+            assert out == [
+                {"quantile": 0.5, "value": 5},
+                {"quantile": 0.95, "value": 5},
+            ]
+
 
 class TestSpanKernelsProperty:
     def test_kernel_chain_matches_naive(self):
