@@ -174,7 +174,10 @@ def sampled_quantiles(
 
     Deterministic and partition-invariant: the rank is a pure function of
     the id, so the selected set — and therefore the estimate — does not
-    depend on block count or row order (asserted in tests).  When the
+    depend on block count or row order (asserted in tests).  ``id_col``
+    must be unique per row (like ``ann.sample_embeddings``): duplicate
+    ids tie in rank, and tie-breaks are position- (hence partition-)
+    dependent.  When the
     corpus has at most ``sample`` rows the sample IS the corpus and the
     result is EXACT (equal to ``exact_quantiles``, and SQL-oracle
     comparable); above that the quantile-rank error is the standard

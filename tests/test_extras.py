@@ -3130,6 +3130,60 @@ class TestFrequentItems:
             ]
 
 
+class TestMGFoldProperty:
+    def test_fold_superset_guarantee(self):
+        """Hypothesis: the pure MG machinery frequent_items runs — exact
+        per-batch value_counts compressed to m, driver fold with
+        compression above 2m — keeps EVERY item whose true count exceeds
+        n/(m+1), for any stream content, batch split and m."""
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.extras.sketches import _mg_compress
+
+        @given(
+            st.lists(
+                st.integers(min_value=0, max_value=30),
+                min_size=1,
+                max_size=400,
+            ),
+            st.integers(min_value=1, max_value=12),   # m
+            st.integers(min_value=1, max_value=7),    # number of batches
+            st.randoms(use_true_random=False),
+        )
+        @settings(max_examples=150, deadline=None)
+        def check(stream, m, nb, rnd):
+            idx = list(range(len(stream)))
+            rnd.shuffle(idx)
+            cuts = sorted(rnd.sample(range(len(stream) + 1), min(nb - 1, len(stream))))
+            batches, prev = [], 0
+            for c in cuts + [len(stream)]:
+                batches.append([stream[i] for i in idx[prev:c]])
+                prev = c
+            summary: dict = {}
+            for b in batches:
+                cnt = Counter(b)
+                items = np.array(list(cnt.keys()), dtype=np.int64)
+                counts = np.array(list(cnt.values()), dtype=np.int64)
+                ki, kc = _mg_compress(items, counts, m)
+                for it, c in zip(ki.tolist(), kc.tolist()):
+                    summary[it] = summary.get(it, 0) + c
+                if len(summary) > 2 * m:
+                    arr = np.fromiter(summary.values(), dtype=np.int64)
+                    keys = np.fromiter(summary.keys(), dtype=np.int64)
+                    ki, kc = _mg_compress(keys, arr, m)
+                    summary = dict(zip(ki.tolist(), kc.tolist()))
+            truth = Counter(stream)
+            n = len(stream)
+            for it, c in truth.items():
+                if c > n / (m + 1):
+                    assert it in summary, (it, c, n, m, summary)
+
+        check()
+
+
 class TestSpanKernelsProperty:
     def test_kernel_chain_matches_naive(self):
         """Hypothesis: gram_rows -> _dup_starts -> _doc_rollup (single
