@@ -293,6 +293,19 @@ def bench_r5_info(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     handle.query(q_vec, k=10, nprobe=4, exclude=0)
     out["ann_index_query_s"] = time.perf_counter() - t0
+
+    # bounded-memory sketches (driver queries, info-only)
+    from ir_search_engine_ray.pipelines.entry_queries import (
+        q_doclen_quantiles_sampled,
+        q_frequent_terms,
+    )
+
+    t0 = time.perf_counter()
+    q_frequent_terms(sf_dir)
+    out["frequent_terms_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q_doclen_quantiles_sampled(sf_dir)
+    out["sampled_quantiles_s"] = time.perf_counter() - t0
     return out
 
 
