@@ -379,3 +379,102 @@ def frequent_items(
             "cnt": pa.array([h[1] for h in hits], type=pa.int64()),
         }
     )
+
+
+def _batch_registers_by(
+    batch: pa.Table, *, col: str, by: str, p: int
+) -> pa.Table:
+    """Per-(group, register) max-rho partial for one batch — the grouped
+    form of :func:`_batch_registers` (at most groups x 2^p rows, in
+    practice the sparse non-zero registers only)."""
+    vals = batch[col].to_pylist()
+    empty = pa.table(
+        {
+            "group": pa.array([], type=batch[by].type),
+            "register": pa.array([], type=pa.int32()),
+            "rho": pa.array([], type=pa.int8()),
+        }
+    )
+    if not vals:
+        return empty
+    gcol = batch[by].combine_chunks()
+    if pa.types.is_dictionary(gcol.type):
+        gcol = gcol.cast(gcol.type.value_type)
+    dict_enc = gcol.dictionary_encode()
+    gcode = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = _hash64(vals)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    nz = rest != 0
+    lead = np.full(h.size, 64 - p + 1, dtype=np.int64)
+    if nz.any():
+        top = rest[nz]
+        bits = np.zeros(top.size, dtype=np.int64)
+        cur = top.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = cur >= (np.uint64(1) << np.uint64(shift))
+            bits[big] += shift
+            cur[big] >>= np.uint64(shift)
+        lead[nz] = 64 - 1 - bits + 1
+    order = np.lexsort((-lead, reg, gcode))
+    g_s, reg_s, lead_s = gcode[order], reg[order], lead[order]
+    first = np.ones(reg_s.size, dtype=bool)
+    first[1:] = (np.diff(g_s) != 0) | (np.diff(reg_s) != 0)
+    return pa.table(
+        {
+            "group": dict_enc.dictionary.take(pa.array(g_s[first])),
+            "register": pa.array(reg_s[first].astype(np.int32)),
+            "rho": pa.array(lead_s[first].astype(np.int8)),
+        }
+    )
+
+
+def hll_distinct_by(
+    ds: ray.data.Dataset, col: str, by: str, p: int = 12
+) -> ray.data.Dataset:
+    """(group, estimate, p) — approximate COUNT(DISTINCT col) PER GROUP,
+    the grouped form of :func:`hll_distinct`.
+
+    Same discipline as ``exact_quantiles_by``: stage 1 reduces each batch
+    to its per-(group, register) max-rho partials (bounded by the batch's
+    group fan-out x the sparse register count, never its row count),
+    stage 2 is a (group, register) groupby max — at most 2^p rows per
+    group through the shuffle regardless of group cardinality — and
+    stage 3 folds each group's sparse registers into the bias-corrected
+    estimate in one map_groups task.  A group's raw values never
+    co-locate; only its constant-size register summary does.  Max-merge
+    is associative/commutative/idempotent, so every estimate is EXACTLY
+    partition-invariant (asserted in tests), and small groups fall in the
+    linear-counting regime where the estimate is exact."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+
+    def estimate_group(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int64)
+        idx = group["register"].to_numpy(zero_copy_only=False)
+        rho = group["rho"].to_numpy(zero_copy_only=False)
+        regs[idx] = rho  # already max-merged by the groupby
+        return pa.table(
+            {
+                by: group["group"].slice(0, 1),
+                "estimate": pa.array(
+                    [int(round(hll_estimate(regs)))], type=pa.int64()
+                ),
+                "p": pa.array([p], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([col, by])
+        .map_batches(
+            _batch_registers_by,
+            fn_kwargs={"col": col, "by": by, "p": p},
+            batch_format="pyarrow",
+        )
+        .groupby(["group", "register"])
+        .aggregate(Max("rho"))
+        .rename_columns({"max(rho)": "rho"})
+        .groupby("group")
+        .map_groups(estimate_group, batch_format="pyarrow")
+    )

@@ -755,6 +755,20 @@ def q_distinct_users_hll(sf_dir: str) -> pa.Table:
     return sketches.hll_distinct(ev, "user_id", p=12)
 
 
+def q_distinct_users_by_type_hll(sf_dir: str) -> ray.data.Dataset:
+    """Grouped HyperLogLog: approximate distinct users PER event_type.
+    At most 2^p register rows per group cross the shuffle — constant in
+    the corpus, unlike the per-(type, user) row a GROUP BY needs.  NO SQL
+    oracle (same reason as ``distinct_users_hll``); the estimate is
+    deterministic for any partitioning (asserted in tests) so the
+    driver's rows-only hash check is meaningful."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        override_num_blocks=8,
+    )
+    return sketches.hll_distinct_by(ev, "user_id", "event_type", p=12)
+
+
 def q_embedding_pca(sf_dir: str) -> pa.Table:
     """Distributed PCA projection of the embeddings table onto the top 8
     components (moment-combine fit + broadcast project).  NO SQL oracle —
@@ -2298,4 +2312,5 @@ def build_queries() -> dict:
         "unigram_logprob": q_unigram_logprob,
         "embedding_pca": q_embedding_pca,
         "distinct_users_hll": q_distinct_users_hll,
+        "distinct_users_by_type_hll": q_distinct_users_by_type_hll,
     }

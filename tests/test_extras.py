@@ -2896,6 +2896,56 @@ class TestHLL:
         with pytest.raises(ValueError, match="p must be"):
             sketches.hll_registers(ds, "v", p=2)
 
+    def test_grouped_matches_global_per_group(self, ray_session):
+        """hll_distinct_by(group g) == hll_distinct over g's rows alone
+        (same registers, same estimate), for any partitioning; small
+        groups are linear-counting exact."""
+        import random
+
+        import pyarrow.compute as pc
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        rows = []
+        for g, k in (("a", 8), ("b", 700), ("c", 1)):
+            for i in range(k):
+                rows.extend([(g, f"{g}-{i}")] * 2)
+        random.Random(5).shuffle(rows)
+        t = pa.table(
+            {
+                "grp": pa.array([r[0] for r in rows]),
+                "v": pa.array([r[1] for r in rows]),
+            }
+        )
+        outs = []
+        for nb in (1, 6):
+            ds = (
+                ray.data.from_arrow(t).repartition(nb)
+                if nb > 1
+                else ray.data.from_arrow(t)
+            )
+            df = (
+                sketches.hll_distinct_by(ds, "v", "grp")
+                .to_pandas()
+                .sort_values("grp")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+            for g in ("a", "b", "c"):
+                sub = ray.data.from_arrow(t.filter(pc.equal(t["grp"], g)))
+                want = sketches.hll_distinct(sub, "v")["estimate"][0].as_py()
+                got = int(df.loc[df["grp"] == g, "estimate"].iloc[0])
+                assert got == want, (g, got, want)
+        # tiny groups are exact; estimates partition-invariant everywhere
+        assert int(outs[0].loc[outs[0]["grp"] == "a", "estimate"].iloc[0]) == 8
+        assert int(outs[0].loc[outs[0]["grp"] == "c", "estimate"].iloc[0]) == 1
+        assert outs[0].equals(outs[1])
+        with pytest.raises(ValueError, match="p must be"):
+            sketches.hll_distinct_by(
+                ray.data.from_arrow(t), "v", "grp", p=2
+            )
+
     def test_rho_matches_reference_bit_math(self):
         import numpy as np
 
