@@ -324,6 +324,32 @@ def _cmd_quantiles(args) -> None:
         print(json.dumps({"quantile": q, "value": v}))
 
 
+def _cmd_distinct(args) -> None:
+    """Approximate COUNT(DISTINCT col) via the HyperLogLog sketch —
+    global, or per group with --by.  Bounded result -> JSON lines."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import sketches
+
+    cols = [args.col] + ([args.by] if args.by else [])
+    ds = ray.data.read_parquet(
+        args.parquet, columns=cols, override_num_blocks=16
+    )
+    if args.by:
+        t = sketches.hll_distinct_by(ds, args.col, args.by, p=args.p)
+        for row in t.to_pandas().sort_values(args.by).to_dict("records"):
+            print(json.dumps(
+                {args.by: row[args.by], "estimate": int(row["estimate"]),
+                 "p": int(row["p"])}
+            ))
+    else:
+        t = sketches.hll_distinct(ds, args.col, p=args.p)
+        print(json.dumps(
+            {"estimate": t["estimate"][0].as_py(), "p": t["p"][0].as_py()}
+        ))
+
+
 def _cmd_pii(args) -> None:
     import ray.data
 
@@ -767,6 +793,17 @@ def main(argv: list[str] | None = None) -> None:
     qu.add_argument("--id-col", default="doc_id",
                     help="id column for the deterministic sample ranks")
     qu.set_defaults(fn=_cmd_quantiles)
+
+    di = sub.add_parser(
+        "distinct",
+        help="approximate COUNT(DISTINCT col) via HyperLogLog (+ --by group)",
+    )
+    di.add_argument("parquet")
+    di.add_argument("col")
+    di.add_argument("--by", default=None, help="estimate per this group column")
+    di.add_argument("--p", type=int, default=12,
+                    help="register precision (2^p registers)")
+    di.set_defaults(fn=_cmd_distinct)
 
     st = sub.add_parser("stats", help="index stats (+ optional per-term probe)")
     st.add_argument("index_dir")

@@ -3179,6 +3179,39 @@ class TestFrequentItems:
                 {"quantile": 0.95, "value": 5},
             ]
 
+    def test_cli_distinct(self, ray_session, tmp_path, capsys):
+        """The distinct CLI verb: global and --by grouped HLL estimates
+        (linear-counting-exact at these cardinalities)."""
+        import argparse
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.cli import _cmd_distinct
+
+        t = pa.table(
+            {
+                "g": pa.array(["x"] * 6 + ["y"] * 4),
+                "u": pa.array(
+                    ["a", "b", "c", "a", "b", "c", "d", "e", "d", "e"]
+                ),
+            }
+        )
+        f = str(tmp_path / "ev.parquet")
+        pq.write_table(t, f)
+        _cmd_distinct(argparse.Namespace(parquet=f, col="u", by=None, p=12))
+        assert _json.loads(capsys.readouterr().out) == {
+            "estimate": 5, "p": 12
+        }
+        _cmd_distinct(argparse.Namespace(parquet=f, col="u", by="g", p=12))
+        rows = [
+            _json.loads(x) for x in capsys.readouterr().out.splitlines() if x
+        ]
+        assert rows == [
+            {"g": "x", "estimate": 3, "p": 12},
+            {"g": "y", "estimate": 2, "p": 12},
+        ]
+
 
 class TestMGFoldProperty:
     def test_fold_superset_guarantee(self):
