@@ -2896,6 +2896,36 @@ class TestHLL:
         with pytest.raises(ValueError, match="p must be"):
             sketches.hll_registers(ds, "v", p=2)
 
+    def test_int_fast_path_accuracy_and_invariance(self, ray_session):
+        """Null-free integer columns take the vectorized splitmix64 hash:
+        same error bound and exact partition invariance as the blake2b
+        path (which nullable/string columns keep)."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        n = 50_000
+        t = pa.table(
+            {"v": pa.array(list(range(n)) * 2, type=pa.int64())}
+        )
+        ests = []
+        for nb in (1, 9):
+            ds = (
+                ray.data.from_arrow(t).repartition(nb)
+                if nb > 1
+                else ray.data.from_arrow(t)
+            )
+            est = sketches.hll_distinct(ds, "v", p=12)["estimate"][0].as_py()
+            ests.append(est)
+            assert abs(est - n) / n < 0.05, est
+        assert ests[0] == ests[1]
+        # a null forces the generic path — still works, still deterministic
+        tn = pa.table({"v": pa.array([1, 2, None, 1], type=pa.int64())})
+        got = sketches.hll_distinct(
+            ray.data.from_arrow(tn), "v"
+        )["estimate"][0].as_py()
+        assert got == 3  # 1, 2, None in the linear-counting regime
+
     def test_grouped_matches_global_per_group(self, ray_session):
         """hll_distinct_by(group g) == hll_distinct over g's rows alone
         (same registers, same estimate), for any partitioning; small
@@ -2945,6 +2975,49 @@ class TestHLL:
             sketches.hll_distinct_by(
                 ray.data.from_arrow(t), "v", "grp", p=2
             )
+
+    def test_grouped_kernel_dense_and_fallback_agree(self):
+        """_batch_registers_by's dense scatter-max path (small fan-out)
+        and its lexsort fallback (fan-out x m over the slot budget) both
+        equal per-group _batch_registers output."""
+        import random
+
+        from ir_search_engine_ray.extras.sketches import (
+            _batch_registers,
+            _batch_registers_by,
+        )
+
+        rnd = random.Random(7)
+        groups = [f"g{i}" for i in range(40)]
+        rows = [
+            (rnd.choice(groups), rnd.randrange(200)) for _ in range(5000)
+        ]
+        batch = pa.table(
+            {
+                "grp": pa.array([r[0] for r in rows]),
+                "v": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        )
+        for p in (12, 18):  # 40 * 2^18 > the 2^23 slot budget -> fallback
+            got = _batch_registers_by(batch, col="v", by="grp", p=p)
+            gd = {}
+            for g, r, rho in zip(
+                got["group"].to_pylist(),
+                got["register"].to_pylist(),
+                got["rho"].to_pylist(),
+            ):
+                gd[(g, r)] = rho
+            want = {}
+            for g in groups:
+                sub = batch.filter(
+                    pa.compute.equal(batch["grp"], g)
+                )
+                ref = _batch_registers(sub, col="v", p=p)
+                for r, rho in zip(
+                    ref["register"].to_pylist(), ref["rho"].to_pylist()
+                ):
+                    want[(g, r)] = rho
+            assert gd == want, p
 
     def test_rho_matches_reference_bit_math(self):
         import numpy as np
