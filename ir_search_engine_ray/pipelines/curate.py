@@ -63,10 +63,7 @@ def quality_lang_gate(
     )
     # ASCII letters only (not str.isalpha): keeps the ratio exactly
     # reproducible by the SQL oracle's [a-zA-Z] regexp
-    n_alpha = np.array(
-        [sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t) for t in texts],
-        dtype=np.int64,
-    )
+    n_alpha = textstats.ascii_alpha_counts(batch["text"])
     keep = (n_tokens >= min_tokens) & (n_alpha / n_chars >= min_alpha_ratio)
     if lang is not None:
         langs = textstats.lang_id(batch)["lang_guess"].to_pylist()

@@ -585,10 +585,7 @@ def q_quality_signals(sf_dir: str) -> ray.data.Dataset:
                 "n_tokens": full["n_tokens"],
                 # ASCII letters only, to match the SQL oracle's regexp
                 "n_alpha": pa.array(
-                    np.array(
-                        [sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t)
-                         for t in texts]
-                    ),
+                    textstats.ascii_alpha_counts(batch["text"]),
                     type=pa.int64(),
                 ),
                 "n_stopword": pa.array(

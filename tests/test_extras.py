@@ -221,6 +221,32 @@ class TestTextStats:
         assert langs[0] == "en"
         assert langs[4] == "fr"
 
+    def test_regex_char_counts_match_naive_loops(self):
+        import pyarrow as pa
+
+        from ir_search_engine_ray.extras.textstats import (
+            _regex_char_counts,
+            ascii_alpha_counts,
+        )
+
+        texts = [
+            "Hello, World!", "", "1234 !!!", "éàç ok", "ΔxΔ y",
+            "mixed İıß CASE", "tabs\tand\nnewlines OK",
+        ]
+        col = pa.array(texts)
+        want_ascii = [
+            sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t)
+            for t in texts
+        ]
+        assert list(ascii_alpha_counts(col)) == want_ascii
+        # \pL == Unicode letters; matches isalpha on these inputs (no
+        # Other_Alphabetic marks / Nl numerals present)
+        want_alpha = [sum(c.isalpha() for c in t) for t in texts]
+        assert list(_regex_char_counts(col, r"\pL+")) == want_alpha
+        # chunked arrays take the combine_chunks path
+        chunked = pa.chunked_array([texts[:3], texts[3:]])
+        assert list(ascii_alpha_counts(chunked)) == want_ascii
+
     def test_fingerprint_order_sensitive(self, ray_session):
         from ir_search_engine_ray.extras import textstats
 
