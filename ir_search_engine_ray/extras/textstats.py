@@ -128,20 +128,33 @@ def quality_signals(batch: pa.Table) -> pa.Table:
     )
 
 
-def lang_id(batch: pa.Table) -> pa.Table:
-    """Heuristic language guess: argmax of per-language marker-word hit
-    rates; 'unk' when nothing matches.  Ties break in fixed ('en','fr','es',
-    'de') order — the SQL oracle encodes the same order."""
-    texts = batch["text"].to_pylist()
+# frozenset mirror of LANG_MARKERS for O(1) membership; LANG_MARKERS
+# itself stays an ordered tuple dict — the SQL oracle builder iterates it
+# and the tie-break order ('en','fr','es','de') is part of the semantics
+_LANG_MARKER_SETS = {lang: frozenset(m) for lang, m in LANG_MARKERS.items()}
+
+
+def guess_langs(tok_lists: list[list[str]]) -> list[str]:
+    """Language guess per pre-tokenized doc: argmax of per-language
+    marker-word hits; 'unk' when nothing matches; ties break in fixed
+    ('en','fr','es','de') order — the SQL oracle encodes the same order.
+    Taking TOKEN LISTS lets callers that already tokenized (the curate
+    quality gate) skip a second tokenize pass."""
     langs = []
-    for t in texts:
-        toks = _tokens(t)
+    for toks in tok_lists:
         best_lang, best_hits = "unk", 0
-        for lang, markers in LANG_MARKERS.items():
+        for lang, markers in _LANG_MARKER_SETS.items():
             hits = sum(tok in markers for tok in toks)
             if hits > best_hits:
                 best_lang, best_hits = lang, hits
         langs.append(best_lang)
+    return langs
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Heuristic language guess per doc — see :func:`guess_langs`."""
+    texts = batch["text"].to_pylist()
+    langs = guess_langs([_tokens(t) for t in texts])
     return pa.table(
         {
             "doc_id": batch["doc_id"],

@@ -66,7 +66,9 @@ def quality_lang_gate(
     n_alpha = textstats.ascii_alpha_counts(batch["text"])
     keep = (n_tokens >= min_tokens) & (n_alpha / n_chars >= min_alpha_ratio)
     if lang is not None:
-        langs = textstats.lang_id(batch)["lang_guess"].to_pylist()
+        # reuse tok_lists: guess_langs on the already-tokenized docs
+        # (lang_id would tokenize every text a second time)
+        langs = textstats.guess_langs(tok_lists)
         keep &= np.array([lg == lang for lg in langs])
     return batch.select(["doc_id", "text"]).filter(pa.array(keep))
 
