@@ -208,6 +208,8 @@ def _cmd_dedup(args) -> None:
     elif args.method == "minhash":
         pairs = dedup.minhash_lsh_pairs(docs, dedupe=False)
         out = dedup.verify_jaccard(pairs, docs, threshold=args.threshold)
+    elif args.method == "jaccard":
+        out = dedup.ngram_jaccard_pairs(docs, threshold=args.threshold)
     elif args.method == "simhash":
         out = dedup.simhash_candidate_pairs(docs, max_hamming=args.max_hamming)
     elif args.method == "spans":
@@ -653,13 +655,13 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument(
         "--method",
         default="exact",
-        choices=("exact", "exact-normalized", "minhash", "simhash",
-                 "clusters", "spans"),
+        choices=("exact", "exact-normalized", "minhash", "jaccard",
+                 "simhash", "clusters", "spans"),
     )
     d.add_argument("--span-k", type=int, default=8,
                    help="spans method: duplicated-gram length in tokens")
     d.add_argument("--threshold", type=float, default=0.5,
-                   help="Jaccard threshold (minhash/clusters)")
+                   help="Jaccard threshold (minhash/jaccard/clusters)")
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--overwrite", action="store_true")
     d.set_defaults(fn=_cmd_dedup)

@@ -8,7 +8,10 @@ Four families over the ``documents`` table, each expressed Ray-Data-first:
   ``groupby(bucket)`` candidate pairs -> exact-Jaccard verification;
 - SimHash: 64-bit weighted token hash, candidate pairs via 16-bit band
   buckets within Hamming distance;
-- n-gram Jaccard: exact similarity for a candidate pair set.
+- n-gram Jaccard: exact similarity for a candidate pair set
+  (``verify_jaccard``), and a standalone EXACT similarity self-join
+  (``ngram_jaccard_pairs``) whose prefix-filter candidates are
+  recall-1.0 by construction — no LSH parameters.
 
 Scale notes: candidate generation is shuffle-based (buckets are the group
 key) so no stage ever holds all pairs; verification auto-picks its
@@ -290,6 +293,149 @@ def minhash_lsh_pairs(
         _pairs_from_partition, batch_format="pyarrow"
     )
     return _dedup_pairs(pairs) if dedupe else pairs
+
+
+def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
+    """Prefix-filter length per set size ``s``: ``s - ceil(t*s) + 1``.
+
+    Soundness: ``jaccard(A, B) >= t`` forces ``|A ∩ B| >= t * |A ∪ B| >=
+    t * |A|``, so B must hit A outside A's largest ``ceil(t*|A|) - 1``
+    elements — i.e. inside ANY fixed prefix of length
+    ``|A| - ceil(t*|A|) + 1`` under a global total order (Chaudhuri et al.,
+    "A Primitive Operator for Similarity Joins", ICDE 2006).  The order
+    used here is the shingle-hash value itself."""
+    need = np.ceil(threshold * sizes - 1e-9).astype(np.int64)
+    return np.clip(sizes - need + 1, 1, sizes)
+
+
+def prefix_filter_rows(
+    batch: pa.Table, *, shingle_k: int, threshold: float
+) -> pa.Table:
+    """Per doc: (shingle, doc_id, set_size, part) rows for the doc's PREFIX
+    shingles only — the first ``|S| - ceil(t*|S|) + 1`` shingle hashes in
+    ascending hash order.  Every pair with exact Jaccard >= t shares at
+    least one prefix shingle on BOTH sides (see :func:`_prefix_len`), so
+    grouping on the shingle yields recall-1.0 candidates with no LSH
+    parameter to tune.
+
+    Ordering note: any global total order is sound; rarest-first (ascending
+    document frequency) would minimize candidates but needs a vocabulary
+    df pass first.  Hash order costs nothing extra and keeps this a
+    single map stage; hot (frequent) shingles landing in prefixes generate
+    more candidates, bounded below by the size-compatibility filter in
+    :func:`_sized_pairs_partition`."""
+    sh_out: list[np.ndarray] = []
+    doc_out: list[np.ndarray] = []
+    size_out: list[np.ndarray] = []
+    for doc_id, text in zip(
+        batch["doc_id"].to_numpy(), batch["text"].to_pylist()
+    ):
+        sh = np.sort(_shingle_hashes(text, shingle_k))
+        s = sh.size
+        if s == 0:
+            continue
+        p = int(_prefix_len(np.array([s], dtype=np.int64), threshold)[0])
+        sh_out.append(sh[:p])
+        doc_out.append(np.full(p, doc_id, dtype=np.int64))
+        size_out.append(np.full(p, s, dtype=np.int64))
+    if not sh_out:
+        return pa.table(
+            {
+                "shingle": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "size": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int32()),
+            }
+        )
+    sh = np.concatenate(sh_out)
+    return pa.table(
+        {
+            "shingle": pa.array(sh.view(np.int64)),
+            "doc_id": pa.array(np.concatenate(doc_out)),
+            "size": pa.array(np.concatenate(size_out)),
+            "part": pa.array((sh % np.uint64(N_SHUFFLE_PARTS)).astype(np.int32)),
+        }
+    )
+
+
+def _sized_pairs_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """One coarse shuffle partition (MANY shingles) -> size-filtered
+    candidate pairs, vectorized like :func:`_pairs_from_partition`.
+
+    The size filter is the standard length bound: ``jaccard <=
+    min(|A|,|B|) / max(|A|,|B|)``, so pairs with ``min < t * max`` can
+    never qualify and are dropped before verification."""
+    shingle = group["shingle"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    size = group["size"].to_numpy()
+    order = np.lexsort((doc, shingle))
+    shingle, doc, size = shingle[order], doc[order], size[order]
+    change = np.flatnonzero(np.diff(shingle) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [doc.size]))
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        sa, sb = size[s + iu], size[s + ju]
+        ok = np.minimum(sa, sb) + 1e-9 >= threshold * np.maximum(sa, sb)
+        a_out.append(doc[s + iu[ok]])
+        b_out.append(doc[s + ju[ok]])
+    a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
+def ngram_jaccard_candidates(
+    docs_ds: ray.data.Dataset,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """EXACT-recall candidate pairs for ``jaccard >= threshold`` via prefix
+    filtering — the AllPairs-family alternative to MinHash+LSH: no
+    probabilistic banding, so the true pair set is a provable subset of the
+    candidates (the verify step then makes precision exact too).
+
+    Shuffle shape matches ``minhash_lsh_pairs``: one map stage emits
+    O(prefix) 28-byte rows per doc (never the text), one coarse
+    ``groupby(part)`` co-locates shingle groups, pair generation is
+    vectorized per partition.  Duplicated candidates (pairs sharing several
+    prefix shingles) are collapsed by :func:`verify_jaccard`, exactly like
+    multi-bucket LSH candidates."""
+    rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        prefix_filter_rows,
+        fn_kwargs={"shingle_k": shingle_k, "threshold": threshold},
+        batch_format="pyarrow",
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        return _sized_pairs_partition(group, threshold)
+
+    return rows.groupby("part").map_groups(pairs, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    docs_ds: ray.data.Dataset,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard similarity self-join: ALL pairs (doc_a < doc_b)
+    with word-shingle Jaccard >= ``threshold`` — recall 1.0 by the prefix
+    filter, precision 1.0 by exact verification.  Output schema matches the
+    verified minhash path: (doc_a, doc_b, jaccard)."""
+    cands = ngram_jaccard_candidates(
+        docs_ds, shingle_k=shingle_k, threshold=threshold
+    )
+    return verify_jaccard(
+        cands, docs_ds, shingle_k=shingle_k, threshold=threshold
+    )
 
 
 @ray.remote

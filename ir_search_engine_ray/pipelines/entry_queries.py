@@ -810,6 +810,13 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.verify_jaccard(pairs, _docs_ds(sf_dir), threshold=0.5)
 
 
+def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact n-gram Jaccard self-join (prefix-filter candidates + exact
+    verify) — same oracle as minhash_pairs, but here recall 1.0 is a
+    theorem of the prefix filter, not an LSH-parameter property."""
+    return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
+
+
 def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     return splits.split_counts(_docs_ds(sf_dir))
 
@@ -1755,6 +1762,7 @@ SELECT ngram, count(*)::BIGINT AS count
 FROM grams GROUP BY 1 HAVING count(*) >= 2
 """,
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
+        "jaccard_pairs": _sql_minhash_pairs(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "curated_docs": _sql_curated_docs(),
         "dataset_split": _sql_dataset_split(),
@@ -2277,6 +2285,7 @@ def build_queries() -> dict:
         "event_windows_hopping": q_event_windows_hopping,
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "curated_docs": q_curated_docs,

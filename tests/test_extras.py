@@ -83,6 +83,120 @@ class TestDedup:
         assert ham[(0, 3)] == 0
 
 
+class TestNgramJaccard:
+    """Exact prefix-filtered Jaccard self-join: recall 1.0 is a theorem,
+    so the whole pipeline must EQUAL brute-force all-pairs Jaccard."""
+
+    @staticmethod
+    def _brute_pairs(rows, k=3, threshold=0.5):
+        from ir_search_engine_ray.extras import dedup
+
+        shs = {d: dedup._shingles(t, k) for d, t in rows}
+        out = {}
+        ids = sorted(shs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                sa, sb = shs[a], shs[b]
+                if not sa or not sb:
+                    continue
+                j = round(len(sa & sb) / len(sa | sb), 6)
+                if j >= threshold:
+                    out[(a, b)] = j
+        return out
+
+    def test_corpus_pairs_and_values(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        got = dedup.ngram_jaccard_pairs(
+            _docs_ds(CORPUS, num_blocks=2), threshold=0.5
+        ).to_pandas()
+        got_map = {
+            (a, b): j
+            for a, b, j in got[["doc_a", "doc_b", "jaccard"]].itertuples(
+                index=False
+            )
+        }
+        assert got_map == self._brute_pairs(CORPUS, threshold=0.5)
+        assert got_map[(0, 3)] == 1.0
+
+    @staticmethod
+    def _random_corpus(n=48, seed=11):
+        # clustered mutations around a few base docs so pair similarities
+        # straddle the threshold in both directions
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        doc_id = 0
+        for base in range(8):
+            toks = [vocab[rng.integers(0, len(vocab))] for _ in range(14)]
+            for variant in range(n // 8):
+                t = list(toks)
+                for _ in range(rng.integers(0, 7)):  # 0..6 point mutations
+                    t[rng.integers(0, len(t))] = vocab[
+                        rng.integers(0, len(vocab))
+                    ]
+                rows.append((doc_id, " ".join(t)))
+                doc_id += 1
+        return rows
+
+    @pytest.mark.parametrize("num_blocks", [1, 4])
+    @pytest.mark.parametrize("threshold", [0.3, 0.6])
+    def test_matches_bruteforce_across_partitionings(
+        self, ray_session, num_blocks, threshold
+    ):
+        from ir_search_engine_ray.extras import dedup
+
+        rows = self._random_corpus()
+        got = dedup.ngram_jaccard_pairs(
+            _docs_ds(rows, num_blocks=num_blocks), threshold=threshold
+        ).to_pandas()
+        got_map = {
+            (a, b): j
+            for a, b, j in got[["doc_a", "doc_b", "jaccard"]].itertuples(
+                index=False
+            )
+        }
+        assert got_map == self._brute_pairs(rows, threshold=threshold)
+
+    def test_candidates_superset_of_true_pairs(self, ray_session):
+        """The recall-1.0 claim on the PRE-verify candidate set itself."""
+        from ir_search_engine_ray.extras import dedup
+
+        rows = self._random_corpus(seed=23)
+        cands = dedup.ngram_jaccard_candidates(
+            _docs_ds(rows, num_blocks=3), threshold=0.4
+        ).to_pandas()
+        cand_set = {
+            tuple(p)
+            for p in cands[["doc_a", "doc_b"]].itertuples(index=False)
+        }
+        true_pairs = set(self._brute_pairs(rows, threshold=0.4))
+        assert true_pairs <= cand_set
+
+    def test_threshold_one_keeps_only_identical_shingle_sets(
+        self, ray_session
+    ):
+        from ir_search_engine_ray.extras import dedup
+
+        got = dedup.ngram_jaccard_pairs(
+            _docs_ds(CORPUS), threshold=1.0
+        ).to_pandas()
+        assert {(0, 3)} == {
+            tuple(p) for p in got[["doc_a", "doc_b"]].itertuples(index=False)
+        }
+
+    def test_prefix_len_bounds(self):
+        from ir_search_engine_ray.extras.dedup import _prefix_len
+
+        sizes = np.array([10, 1, 7], dtype=np.int64)
+        # t=0.5: ceil(5)=5 -> 6; ceil(0.5)=1 -> 1; ceil(3.5)=4 -> 4
+        assert _prefix_len(sizes, 0.5).tolist() == [6, 1, 4]
+        # t=1.0: prefix collapses to a single shingle
+        assert _prefix_len(sizes, 1.0).tolist() == [1, 1, 1]
+        # t->0: the whole set is the prefix (every doc pairs broadly)
+        assert _prefix_len(sizes, 1e-9).tolist() == [10, 1, 7]
+
+
 class TestANN:
     def _emb_ds(self, n=200, dim=16, seed=5):
         import ray.data

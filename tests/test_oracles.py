@@ -69,6 +69,7 @@ ORACLED = [
         "dedup_exact_normalized",
         "doc_fingerprint",
         "minhash_pairs",
+        "jaccard_pairs",
         "simhash_pairs",
         "curated_docs",
         "dedup_clusters",
