@@ -309,21 +309,25 @@ def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
 
 
 def prefix_filter_rows(
-    batch: pa.Table, *, shingle_k: int, threshold: float
+    batch: pa.Table, *, shingle_k: int, threshold: float, hot_ref=None
 ) -> pa.Table:
     """Per doc: (shingle, doc_id, set_size, part) rows for the doc's PREFIX
-    shingles only — the first ``|S| - ceil(t*|S|) + 1`` shingle hashes in
-    ascending hash order.  Every pair with exact Jaccard >= t shares at
+    shingles only — the first ``|S| - ceil(t*|S|) + 1`` shingle hashes under
+    the global total order.  Every pair with exact Jaccard >= t shares at
     least one prefix shingle on BOTH sides (see :func:`_prefix_len`), so
     grouping on the shingle yields recall-1.0 candidates with no LSH
     parameter to tune.
 
-    Ordering note: any global total order is sound; rarest-first (ascending
-    document frequency) would minimize candidates but needs a vocabulary
-    df pass first.  Hash order costs nothing extra and keeps this a
-    single map stage; hot (frequent) shingles landing in prefixes generate
-    more candidates, bounded below by the size-compatibility filter in
-    :func:`_sized_pairs_partition`."""
+    Ordering: any global total order is sound.  The default is ascending
+    hash value (free — ``_shingle_hashes`` returns sorted uniques).  With
+    ``hot_ref`` (a broadcast ``(hot_shingles_sorted, hot_rank)`` pair from
+    :func:`_sampled_hot_shingles`), the order becomes rarest-first: shingles
+    NOT in the hot table sort first by hash, hot ones last by ascending
+    sampled frequency — so the candidate-generating prefixes avoid the hot
+    shingles that would otherwise build O(m^2) groups.  The estimate only
+    shapes the order, never correctness."""
+    hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+    hot_sh, hot_rank = hot if hot is not None else (None, None)
     sh_out: list[np.ndarray] = []
     doc_out: list[np.ndarray] = []
     size_out: list[np.ndarray] = []
@@ -334,6 +338,15 @@ def prefix_filter_rows(
         s = sh.size
         if s == 0:
             continue
+        if hot_sh is not None and hot_sh.size:
+            pos = np.searchsorted(hot_sh, sh)
+            safe = np.minimum(pos, hot_sh.size - 1)
+            is_hot = hot_sh[safe] == sh
+            # rare: hash >> 1 keeps the key below 2^63; hot: 2^63 + rank,
+            # hottest rank largest, so it lands at the very end
+            key = sh >> np.uint64(1)
+            key[is_hot] = np.uint64(1 << 63) + hot_rank[safe[is_hot]]
+            sh = sh[np.argsort(key, kind="stable")]
         p = int(_prefix_len(np.array([s], dtype=np.int64), threshold)[0])
         sh_out.append(sh[:p])
         doc_out.append(np.full(p, doc_id, dtype=np.int64))
@@ -391,11 +404,89 @@ def _sized_pairs_partition(group: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+# rarest-first ordering: how many hottest shingles to pin to the END of the
+# global order, and what fraction of docs (1/mod, splitmix-selected on
+# doc_id — deterministic and partition-invariant) estimate their frequency
+HOT_SHINGLES_MAX = 4096
+DF_SAMPLE_MOD = 16
+
+
+def _sampled_hot_shingles(
+    docs_ds: ray.data.Dataset,
+    *,
+    shingle_k: int,
+    top: int = HOT_SHINGLES_MAX,
+    sample_mod: int = DF_SAMPLE_MOD,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Estimate the ``top`` most frequent shingles from a deterministic
+    1/``sample_mod`` doc sample; returns ``(hot_sorted, rank)`` where
+    ``hot_sorted`` is ascending by hash (for searchsorted membership) and
+    ``rank[i]`` is hot_sorted[i]'s position by ASCENDING estimated df
+    (ties by hash) — the hottest shingle gets the largest rank and sorts
+    last in every doc's prefix order.  The sample's vocabulary shuffle is
+    the only extra exchange; its size is bounded by the sampled docs'
+    distinct shingles, and the broadcast is capped at ``top`` entries."""
+    from ray.data.aggregate import Sum
+
+    from .splits import _mix64
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = _mix64(ids.astype(np.uint64), seed=3) % sample_mod == 0
+        parts = [
+            _shingle_hashes(t, shingle_k)
+            for t in batch.filter(pa.array(keep))["text"].to_pylist()
+        ]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return pa.table(
+                {
+                    "shingle": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        u, c = np.unique(np.concatenate(parts), return_counts=True)
+        return pa.table(
+            {
+                "shingle": pa.array(u.view(np.int64)),
+                "df": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    g = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("df"))
+    )
+    hot_tbl = (
+        g.map_batches(
+            # a shingle seen once in the sample is noise, not heat
+            lambda b: b.filter(pa.compute.greater(b["sum(df)"], 1)),
+            batch_format="pyarrow",
+        )
+        .sort("sum(df)", descending=True)
+        .limit(top)
+        .to_pandas()
+    )
+    if hot_tbl.empty:
+        return None
+    sh = hot_tbl["shingle"].to_numpy().astype(np.int64).view(np.uint64)
+    df = hot_tbl["sum(df)"].to_numpy().astype(np.int64)
+    # rank by (df asc, hash asc): a permutation aligned to hash-sorted order
+    by_freq = np.lexsort((sh, df))
+    rank_of = np.empty(sh.size, dtype=np.uint64)
+    rank_of[by_freq] = np.arange(sh.size, dtype=np.uint64)
+    order = np.argsort(sh)
+    return sh[order], rank_of[order]
+
+
 def ngram_jaccard_candidates(
     docs_ds: ray.data.Dataset,
     *,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    order: str = "hash",
 ) -> ray.data.Dataset:
     """EXACT-recall candidate pairs for ``jaccard >= threshold`` via prefix
     filtering — the AllPairs-family alternative to MinHash+LSH: no
@@ -407,10 +498,29 @@ def ngram_jaccard_candidates(
     ``groupby(part)`` co-locates shingle groups, pair generation is
     vectorized per partition.  Duplicated candidates (pairs sharing several
     prefix shingles) are collapsed by :func:`verify_jaccard`, exactly like
-    multi-bucket LSH candidates."""
+    multi-bucket LSH candidates.
+
+    ``order="df"`` adds a sampled document-frequency pre-pass
+    (:func:`_sampled_hot_shingles`) and broadcasts the hot table once via
+    ``ray.put``, pinning the estimated-hottest shingles to the END of the
+    global order so prefixes avoid them — the rarest-first heuristic that
+    keeps boilerplate-heavy corpora from building O(m^2) candidate groups.
+    The pair set is identical under either order (exactness is
+    order-independent); only the candidate count changes."""
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+    hot_ref = None
+    if order == "df":
+        hot = _sampled_hot_shingles(docs_ds, shingle_k=shingle_k)
+        if hot is not None:
+            hot_ref = ray.put(hot)
     rows = docs_ds.select_columns(["doc_id", "text"]).map_batches(
         prefix_filter_rows,
-        fn_kwargs={"shingle_k": shingle_k, "threshold": threshold},
+        fn_kwargs={
+            "shingle_k": shingle_k,
+            "threshold": threshold,
+            "hot_ref": hot_ref,
+        },
         batch_format="pyarrow",
     )
 
@@ -425,13 +535,16 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    order: str = "hash",
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard similarity self-join: ALL pairs (doc_a < doc_b)
     with word-shingle Jaccard >= ``threshold`` — recall 1.0 by the prefix
     filter, precision 1.0 by exact verification.  Output schema matches the
-    verified minhash path: (doc_a, doc_b, jaccard)."""
+    verified minhash path: (doc_a, doc_b, jaccard).  ``order="df"`` enables
+    the sampled rarest-first prefix order (same result, fewer candidates on
+    boilerplate-heavy corpora)."""
     cands = ngram_jaccard_candidates(
-        docs_ds, shingle_k=shingle_k, threshold=threshold
+        docs_ds, shingle_k=shingle_k, threshold=threshold, order=order
     )
     return verify_jaccard(
         cands, docs_ds, shingle_k=shingle_k, threshold=threshold

@@ -120,11 +120,22 @@ class TestNgramJaccard:
         assert got_map[(0, 3)] == 1.0
 
     @staticmethod
-    def _random_corpus(n=48, seed=11):
+    def _w(i):
+        # alphabetic-only token (the tokenizer is [a-z]+ — digits vanish)
+        s = ""
+        i = int(i)
+        while True:
+            s = chr(97 + i % 26) + s
+            i //= 26
+            if i == 0:
+                return "w" + s
+
+    @classmethod
+    def _random_corpus(cls, n=48, seed=11):
         # clustered mutations around a few base docs so pair similarities
         # straddle the threshold in both directions
         rng = np.random.default_rng(seed)
-        vocab = [f"w{i}" for i in range(30)]
+        vocab = [cls._w(i) for i in range(30)]
         rows = []
         doc_id = 0
         for base in range(8):
@@ -184,6 +195,64 @@ class TestNgramJaccard:
         assert {(0, 3)} == {
             tuple(p) for p in got[["doc_a", "doc_b"]].itertuples(index=False)
         }
+
+    @classmethod
+    def _boilerplate_corpus(cls, n=64, seed=3):
+        # every doc opens with the same 10-token boilerplate (hot shingles
+        # in all docs) followed by distinct content
+        rng = np.random.default_rng(seed)
+        boiler = " ".join("boiler" + cls._w(i) for i in range(10))
+        rows = []
+        for d in range(n):
+            tail = " ".join(
+                cls._w(rng.integers(0, 4000)) for _ in range(10)
+            )
+            rows.append((d, f"{boiler} {tail}"))
+        return rows
+
+    def test_df_order_same_pairs_fewer_candidates(self, ray_session):
+        """Rarest-first (sampled df) ordering must not change the verified
+        pair set, and must cut candidates on a boilerplate-heavy corpus."""
+        from ir_search_engine_ray.extras import dedup
+
+        rows = self._boilerplate_corpus()
+        docs = _docs_ds(rows, num_blocks=4)
+        n_hash = dedup.ngram_jaccard_candidates(
+            docs, threshold=0.5, order="hash"
+        ).count()
+        n_df = dedup.ngram_jaccard_candidates(
+            docs, threshold=0.5, order="df"
+        ).count()
+        assert n_df < n_hash
+
+        def pairset(order, threshold):
+            df = dedup.ngram_jaccard_pairs(
+                docs, threshold=threshold, order=order
+            ).to_pandas()
+            if df.empty:  # empty ray datasets drop their columns
+                return {}
+            return {
+                (a, b): j
+                for a, b, j in df[
+                    ["doc_a", "doc_b", "jaccard"]
+                ].itertuples(index=False)
+            }
+
+        # at 0.5 the boilerplate overlap (~0.29) is below threshold: both
+        # orders must agree on the empty set; at 0.25 it is above, so the
+        # df order must still find every boilerplate pair
+        for t in (0.5, 0.25):
+            got = pairset("df", t)
+            assert got == pairset("hash", t)
+            assert got == self._brute_pairs(rows, threshold=t)
+
+    def test_df_order_rejects_unknown(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        with pytest.raises(ValueError):
+            dedup.ngram_jaccard_candidates(
+                _docs_ds(CORPUS), order="frequency"
+            )
 
     def test_prefix_len_bounds(self):
         from ir_search_engine_ray.extras.dedup import _prefix_len
