@@ -434,6 +434,36 @@ def _cmd_pack(args) -> None:
     )
 
 
+def _cmd_chunk(args) -> None:
+    import ray.data
+
+    _ensure_ray()
+    from .extras import packing
+
+    _fresh_out_dir(args.out, args.overwrite)
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = packing.chunk_documents(
+        docs, window=args.window, stride=args.stride
+    )
+    out.write_parquet(args.out)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(args.out, columns=["doc_id", "n_tokens"])
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_chunks": t.num_rows,
+                "n_docs": len(pc.unique(t["doc_id"])),
+                "total_tokens": int(pc.sum(t["n_tokens"]).as_py() or 0),
+                "window": args.window,
+                "stride": args.stride,
+            }
+        )
+    )
+
+
 def _cmd_export(args) -> None:
     from .pipelines.index_build import IndexMeta
     from .sources.legacy_export import export_legacy_index
@@ -721,6 +751,18 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--max-tokens", type=int, default=2048)
     pk.add_argument("--overwrite", action="store_true")
     pk.set_defaults(fn=_cmd_pack)
+
+    ck = sub.add_parser(
+        "chunk",
+        help="documents parquet -> sliding-window token chunks "
+        "(context-length splitting)",
+    )
+    ck.add_argument("documents")
+    ck.add_argument("out")
+    ck.add_argument("--window", type=int, default=128)
+    ck.add_argument("--stride", type=int, default=96)
+    ck.add_argument("--overwrite", action="store_true")
+    ck.set_defaults(fn=_cmd_chunk)
 
     ab = sub.add_parser(
         "ann-build",

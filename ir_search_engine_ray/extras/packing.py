@@ -101,3 +101,73 @@ def pack_sequences(
         )
 
     return counted.groupby("bucket").map_groups(place, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs_ds: ray.data.Dataset,
+    *,
+    window: int = 128,
+    stride: int = 96,
+) -> ray.data.Dataset:
+    """Sliding-window token chunking: split each document into
+    ``window``-token chunks starting every ``stride`` tokens — the
+    context-length splitting step of an LM data pipeline.
+
+    Chunk rule (deliberately simple so the DuckDB oracle mirrors it
+    exactly): starts at 0, stride, 2*stride, ... while the start is inside
+    the token stream; the final chunks may be shorter than ``window``
+    (stride < window ⇒ overlapping chunks; stride > window ⇒ gapped
+    sampling — both allowed).  Tokenless docs emit nothing.
+
+    Output: (doc_id, chunk_id, start_tok, n_tokens, text) — chunk_id is
+    start_tok // stride, text is the space-joined token window.
+
+    Scale: pure per-batch map over a pruned 2-column read, no shuffle; the
+    output streams straight to a sink.  Row explosion is bounded by
+    ceil(doc_tokens / stride) per doc."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_doc: list[np.ndarray] = []
+        out_start: list[np.ndarray] = []
+        texts: list[str] = []
+        lens: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].to_pylist()
+        ):
+            toks = _TOKEN.findall(text.lower())
+            n = len(toks)
+            if n == 0:
+                continue
+            starts = np.arange(0, n, stride, dtype=np.int64)
+            out_doc.append(np.full(starts.size, doc_id, dtype=np.int64))
+            out_start.append(starts)
+            for s in starts:
+                w = toks[s : s + window]
+                lens.append(len(w))
+                texts.append(" ".join(w))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chunk_id": pa.array([], type=pa.int64()),
+                    "start_tok": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        start = np.concatenate(out_start)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "chunk_id": pa.array(start // stride),
+                "start_tok": pa.array(start),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

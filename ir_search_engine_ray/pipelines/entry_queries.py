@@ -1012,6 +1012,12 @@ def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window chunking; window/stride small enough that sf0.01 docs
+    produce several overlapping chunks each."""
+    return packing.chunk_documents(_docs_ds(sf_dir), window=32, stride=24)
+
+
 def q_event_session_join(sf_dir: str) -> ray.data.Dataset:
     """Range join: every event -> the session window containing it (the
     intervals come from sessionize, so the join closes the loop between
@@ -1974,6 +1980,21 @@ rk AS (SELECT lang, term, cnt,
        FROM tf2)
 SELECT lang, term, cnt, rank FROM rk WHERE rank <= 10
 """,
+        "chunk_documents": f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+),
+ch AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS s
+  FROM base WHERE len(ts) > 0
+)
+SELECT doc_id,
+       (s // 24)::BIGINT AS chunk_id,
+       s::BIGINT AS start_tok,
+       least(32, len(ts) - s)::BIGINT AS n_tokens,
+       array_to_string(ts[s + 1 : s + 32], ' ') AS text
+FROM ch
+""",
         "pack_sequences": """
 WITH c AS (
   SELECT doc_id,
@@ -2300,6 +2321,7 @@ def build_queries() -> dict:
         "top_terms_lang": q_top_terms_lang,
         "frequent_terms": q_frequent_terms,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "event_session_join": q_event_session_join,
         "event_campaign_join": q_event_campaign_join,
         "rolling_user_stats": q_rolling_user_stats,

@@ -87,6 +87,7 @@ ORACLED = [
         "frequent_terms",
         "top_terms_lang",
         "pack_sequences",
+        "chunk_documents",
         "event_session_join",
         "event_campaign_join",
         "rolling_user_stats",

@@ -79,3 +79,72 @@ class TestPacking:
         assert out["seq_id"].tolist() == [0, 0]
         assert out["seq_id_end"].tolist() == [0, 1]
         assert out["seq_offset"].tolist() == [0, 30]
+
+
+class TestChunking:
+    def test_known_chunks(self, ray_session):
+        from ir_search_engine_ray.extras import packing
+
+        # 10 tokens, window=4, stride=3 -> starts 0,3,6,9
+        toks = "aa bb cc dd ee ff gg hh ii jj"
+        out = (
+            packing.chunk_documents(_ds([toks]), window=4, stride=3)
+            .to_pandas()
+            .sort_values("chunk_id", ignore_index=True)
+        )
+        assert out["start_tok"].tolist() == [0, 3, 6, 9]
+        assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+        assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+        assert out["text"].tolist() == [
+            "aa bb cc dd",
+            "dd ee ff gg",
+            "gg hh ii jj",
+            "jj",
+        ]
+
+    def test_tokenless_doc_emits_nothing(self, ray_session):
+        from ir_search_engine_ray.extras import packing
+
+        out = packing.chunk_documents(
+            _ds(["123 456 !!!", "word"]), window=4, stride=4
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert out["text"].tolist() == ["word"]
+
+    def test_partitioning_invariant(self, ray_session):
+        from ir_search_engine_ray.extras import packing
+
+        texts = [
+            " ".join(f"w{chr(97 + (i + j) % 26)}" for j in range(n))
+            for i, n in enumerate([1, 5, 17, 40, 0, 33])
+        ]
+
+        def run(nb):
+            df = packing.chunk_documents(
+                _ds(texts, num_blocks=nb), window=8, stride=5
+            ).to_pandas()
+            return df.sort_values(
+                ["doc_id", "chunk_id"], ignore_index=True
+            )
+
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(run(1), run(4))
+
+    def test_gapped_stride_allowed(self, ray_session):
+        from ir_search_engine_ray.extras import packing
+
+        out = packing.chunk_documents(
+            _ds(["aa bb cc dd ee ff"]), window=2, stride=4
+        ).to_pandas()
+        assert sorted(out["text"]) == ["aa bb", "ee ff"]
+
+    def test_rejects_nonpositive(self, ray_session):
+        import pytest
+
+        from ir_search_engine_ray.extras import packing
+
+        with pytest.raises(ValueError):
+            packing.chunk_documents(_ds(["x"]), window=0, stride=1)
+        with pytest.raises(ValueError):
+            packing.chunk_documents(_ds(["x"]), window=4, stride=0)
