@@ -176,6 +176,24 @@ def _cmd_ingest_docs(args) -> None:
     print(json.dumps({"out": out, "n_docs": n}))
 
 
+def _cmd_ingest_jsonl(args) -> None:
+    from .sources.transcripts import jsonl_to_transcripts
+
+    _fresh_out_dir(args.out, args.overwrite)
+    _ensure_ray()
+    out = jsonl_to_transcripts(
+        args.jsonl_path,
+        args.out,
+        glob=args.glob,
+        text_field=args.text_field,
+        id_field=args.id_field,
+    )
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(out, columns=["conv_id"]).num_rows
+    print(json.dumps({"out": out, "n_docs": n}))
+
+
 def _fresh_out_dir(path: str, overwrite: bool) -> None:
     """Refuse to append into a non-empty output dir: a re-run of
     ``write_parquet`` would otherwise ADD files next to the old ones and
@@ -674,6 +692,18 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--glob", default="*")
     g.add_argument("--overwrite", action="store_true")
     g.set_defaults(fn=_cmd_ingest_docs)
+
+    gj = sub.add_parser(
+        "ingest-jsonl",
+        help="JSONL shard file/dir -> transcripts parquet",
+    )
+    gj.add_argument("jsonl_path")
+    gj.add_argument("out")
+    gj.add_argument("--glob", default="*.jsonl")
+    gj.add_argument("--text-field", default="text")
+    gj.add_argument("--id-field", default=None)
+    gj.add_argument("--overwrite", action="store_true")
+    gj.set_defaults(fn=_cmd_ingest_jsonl)
 
     d = sub.add_parser(
         "dedup",

@@ -82,6 +82,57 @@ def tumbling_counts(
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def tumbling_distinct_users(
+    events_ds: ray.data.Dataset, *, window_us: int = HOUR_US
+) -> ray.data.Dataset:
+    """Per tumbling window: EXACT distinct user count.
+
+    Scale shape: the per-batch combiner collapses to distinct
+    (window_start, user_id) pairs BEFORE any exchange, one
+    ``groupby(window, user)`` dedups globally (the only data-sized
+    shuffle — pairs, never events), then the per-window count is a
+    window-cardinality-sized second groupby of (window, 1) rows.  For
+    approximate counts at lower shuffle cost see
+    ``sketches.grouped_hll_distinct``."""
+    from ray.data.aggregate import Count
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        w = (ts // window_us) * window_us
+        u = batch["user_id"].to_numpy()
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        return pa.table(
+            {
+                "window_start": pa.array(uniq[:, 0]),
+                "user_id": pa.array(uniq[:, 1]),
+            }
+        )
+
+    dedup = (
+        events_ds.select_columns(["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["window_start", "user_id"])
+        .aggregate(Count())
+    )
+    g = (
+        dedup.map_batches(
+            lambda b: b.select(["window_start"]), batch_format="pyarrow"
+        )
+        .groupby("window_start")
+        .aggregate(Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": b["window_start"].cast(pa.timestamp("us")),
+                "n_users": b["count()"].cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def hopping_counts(
     events_ds: ray.data.Dataset,
     *,

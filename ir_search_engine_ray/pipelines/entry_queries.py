@@ -644,6 +644,11 @@ def q_event_windows(sf_dir: str) -> ray.data.Dataset:
     return windows.tumbling_counts(ev)
 
 
+def q_window_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
+    return windows.tumbling_distinct_users(ev)
+
+
 def q_sessions(sf_dir: str) -> ray.data.Dataset:
     """Gap sessionization with the mega-user SPLIT path active (24h
     time-range pre-split + segment merge), so the driver verifies the
@@ -1814,6 +1819,11 @@ SELECT date_trunc('hour', ts) AS window_start,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        "window_distinct_users": """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
         "sessions": """
 WITH o AS (
   SELECT user_id, ts,
@@ -2304,6 +2314,7 @@ def build_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "event_windows": q_event_windows,
         "event_windows_hopping": q_event_windows_hopping,
+        "window_distinct_users": q_window_distinct_users,
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,

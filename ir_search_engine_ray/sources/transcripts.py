@@ -111,3 +111,86 @@ def docs_dir_to_transcripts(
     # sanity: the table round-trips with the expected schema
     pq.read_table(str(out), columns=INDEX_COLUMNS)
     return str(out)
+
+
+def jsonl_to_transcripts(
+    path: str | Path,
+    out_parquet_dir: str | Path,
+    *,
+    glob: str = "*.jsonl",
+    text_field: str = "text",
+    id_field: str | None = None,
+) -> str:
+    """JSONL corpus source: a file or directory of newline-delimited JSON
+    shards -> transcripts-shaped parquet, the common interchange format of
+    web-scale text dumps.
+
+    Each shard parses with pyarrow's vectorized NDJSON reader (one Ray task
+    per shard — shard count is the parallelism unit, as usual for JSONL
+    dumps).  ``conv_id`` comes from ``id_field`` when given, else
+    ``<shard-name>:<row>`` (deterministic: rows keep file order).  The
+    rewrite to parquet makes the one-time conversion resumable and every
+    later read column-pruned, exactly like ``docs_dir_to_transcripts``.
+    """
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    if p.is_dir():
+        files = sorted(str(f) for f in p.glob(glob) if Path(f).is_file())
+        if not files:
+            raise FileNotFoundError(f"no files matching {glob!r} under {p}")
+    else:
+        files = [str(p)]
+    out = Path(out_parquet_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def decode(batch: dict) -> pa.Table:
+        import io
+
+        from pyarrow import json as pa_json
+
+        out_tbls = []
+        for path_, data in zip(batch["path"], batch["bytes"]):
+            t = pa_json.read_json(io.BytesIO(bytes(data)))
+            if text_field not in t.column_names:
+                raise ValueError(
+                    f"{path_}: JSONL rows lack the {text_field!r} field "
+                    f"(have {t.column_names})"
+                )
+            n = t.num_rows
+            text = t[text_field].cast(pa.string())
+            if id_field is not None:
+                if id_field not in t.column_names:
+                    raise ValueError(
+                        f"{path_}: JSONL rows lack the {id_field!r} field"
+                    )
+                conv = t[id_field].cast(pa.string())
+            else:
+                name = Path(path_).name
+                conv = pa.array(
+                    [f"{name}:{i}" for i in range(n)], type=pa.string()
+                )
+            out_tbls.append(
+                pa.table(
+                    {
+                        "conv_id": conv,
+                        "turn_idx": pa.array([0] * n, type=pa.int32()),
+                        "role": pa.array(["doc"] * n, type=pa.string()),
+                        "text": text,
+                        "tool": pa.array([""] * n, type=pa.string()),
+                        "ts": pa.array([0] * n, type=pa.int64()).cast(
+                            pa.timestamp("us")
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out_tbls)
+
+    ds = ray.data.read_binary_files(files, include_paths=True).map_batches(
+        decode, batch_format="numpy", batch_size=1
+    )
+    ds.write_parquet(str(out))
+    if not list(out.glob("*.parquet")):
+        raise RuntimeError(f"write_parquet produced no files under {out}")
+    pq.read_table(str(out), columns=INDEX_COLUMNS)
+    return str(out)

@@ -635,6 +635,32 @@ class TestWindows:
         assert out["n_events"].tolist() == [2, 1, 1]
         assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
 
+    @pytest.mark.parametrize("num_blocks", [1, 3])
+    def test_tumbling_distinct_users(self, ray_session, num_blocks):
+        import ray.data
+
+        from ir_search_engine_ray.extras import windows
+
+        us = 1_000_000
+        # hour 0: users {7, 7, 9} -> 2 distinct; hour 1: {7} -> 1
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [10 * us, 3599 * us, 200 * us, 3600 * us],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7, 7, 9, 7], type=pa.int64()),
+            }
+        )
+        out = (
+            windows.tumbling_distinct_users(
+                ray.data.from_arrow(t).repartition(num_blocks)
+            )
+            .to_pandas()
+            .sort_values("window_start", ignore_index=True)
+        )
+        assert out["n_users"].tolist() == [2, 1]
+
     def test_resize_and_frame_sample(self, ray_session):
         import ray.data
 

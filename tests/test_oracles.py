@@ -78,6 +78,7 @@ ORACLED = [
         "ann_lsh_full",
         "ann_batch_topk",
         "event_windows_hopping",
+        "window_distinct_users",
         "decontam_scan",
         "pii_scan",
         "asof_attribution",

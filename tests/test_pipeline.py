@@ -508,6 +508,85 @@ class TestHierarchicalOffsets:
             )
 
 
+class TestJsonlSource:
+    def test_jsonl_roundtrip_build_query(self, ray_session, tmp_path):
+        """JSONL shards -> transcripts parquet -> build -> query; conv_ids
+        are shard:row when no id field is given, shard-order-stable."""
+        import json as _json
+
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.sources.transcripts import (
+            jsonl_to_transcripts,
+        )
+
+        src = tmp_path / "shards"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"text": "boundary layer flow study", "extra": 1},
+                    {"text": "heat transfer in nozzles"},
+                ]
+            )
+        )
+        (src / "b.jsonl").write_text(
+            _json.dumps({"text": "mach number effects on wing flow"})
+        )
+        out = jsonl_to_transcripts(src, tmp_path / "transcripts")
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out).sort_by("conv_id")
+        assert t["conv_id"].to_pylist() == [
+            "a.jsonl:0",
+            "a.jsonl:1",
+            "b.jsonl:0",
+        ]
+
+        meta = build_index(out, tmp_path / "idx", IndexConfig())
+        assert meta.N == 3
+        eng = QueryEngine(meta, QueryConfig(num_actors=1))
+        got = eng.query("boundary layer")
+        assert got and got[0]["conv_id"] == "a.jsonl:0"
+
+    def test_jsonl_id_field_and_missing_text(self, ray_session, tmp_path):
+        import json as _json
+
+        import pytest
+
+        from ir_search_engine_ray.sources.transcripts import (
+            jsonl_to_transcripts,
+        )
+
+        f = tmp_path / "c.jsonl"
+        f.write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"url": "u1", "content": "alpha beta"},
+                    {"url": "u2", "content": "gamma delta"},
+                ]
+            )
+        )
+        out = jsonl_to_transcripts(
+            f,
+            tmp_path / "t1",
+            text_field="content",
+            id_field="url",
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out).sort_by("conv_id")
+        assert t["conv_id"].to_pylist() == ["u1", "u2"]
+        assert t["text"].to_pylist() == ["alpha beta", "gamma delta"]
+
+        with pytest.raises(Exception, match="lack the 'text'"):
+            jsonl_to_transcripts(f, tmp_path / "t2")
+
+
 class TestDocsDirSource:
     def test_docs_dir_roundtrip_build_query(self, ray_session, tmp_path):
         """Reference-style corpus: a dir of one-doc-per-file SGML files ->
