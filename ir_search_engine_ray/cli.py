@@ -219,8 +219,17 @@ def _cmd_dedup(args) -> None:
 
     _fresh_out_dir(args.out, args.overwrite)
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
-    if args.method == "exact":
+    if args.method == "exact" and args.baseline:
+        base = ray.data.read_parquet(args.baseline, override_num_blocks=8)
+        if {"h1", "h2"} <= set(base.schema().names):
+            hashes = base  # a prior hash-export
+        else:
+            hashes = dedup.export_content_hashes(base)
+        out = dedup.exact_dedup_against(docs, hashes)
+    elif args.method == "exact":
         out = dedup.exact_dedup(docs)
+    elif args.method == "hash-export":
+        out = dedup.export_content_hashes(docs)
     elif args.method == "exact-normalized":
         out = dedup.exact_dedup_normalized(docs)
     elif args.method == "minhash":
@@ -244,7 +253,14 @@ def _cmd_dedup(args) -> None:
     out.write_parquet(args.out)
     import pyarrow.parquet as pq
 
-    n_rows = pq.read_table(args.out).num_rows
+    from pathlib import Path as _Path
+
+    # an all-duplicates incremental run is legitimately empty, and
+    # write_parquet emits no files for an empty dataset
+    if any(_Path(args.out).glob("*.parquet")):
+        n_rows = pq.read_table(args.out).num_rows
+    else:
+        n_rows = 0
     print(json.dumps({"method": args.method, "out": args.out, "n_rows": n_rows}))
 
 
@@ -716,7 +732,13 @@ def main(argv: list[str] | None = None) -> None:
         "--method",
         default="exact",
         choices=("exact", "exact-normalized", "minhash", "jaccard",
-                 "simhash", "clusters", "spans"),
+                 "simhash", "clusters", "spans", "hash-export"),
+    )
+    d.add_argument(
+        "--baseline", default=None,
+        help="exact method: parquet of a prior hash-export (h1,h2) or of "
+        "baseline documents; new docs whose content already appears there "
+        "are dropped (incremental ingest dedup)",
     )
     d.add_argument("--span-k", type=int, default=8,
                    help="spans method: duplicated-gram length in tokens")

@@ -110,6 +110,121 @@ def exact_dedup_normalized(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def export_content_hashes(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(h1, h2) 128-bit content hashes of a corpus — the persistable
+    baseline for :func:`exact_dedup_against`.  24 bytes per doc, so a
+    100 TB corpus's hash set is a few TB of parquet that incremental
+    ingests scan instead of the corpus itself."""
+    return (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_text_hash_cols, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(["h1", "h2"]), batch_format="pyarrow")
+    )
+
+
+def _h_rows_view(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(n,) structured view over two int64 columns for exact 128-bit set
+    ops (np.isin / np.unique over pairs without tuple boxing)."""
+    a = np.ascontiguousarray(np.stack([h1, h2], axis=1))
+    return a.view([("a", np.int64), ("b", np.int64)]).reshape(-1)
+
+
+def exact_dedup_against(
+    new_docs_ds: ray.data.Dataset,
+    baseline_hashes_ds: ray.data.Dataset,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental exact dedup: survivors of a NEW shard against an
+    already-ingested corpus — (doc_id, n_copies) for each distinct new
+    text whose 128-bit content hash appears NOWHERE in the baseline hash
+    set, with the minimum doc_id surviving within the shard (same
+    semantics as :func:`exact_dedup` restricted to unseen content).
+
+    The baseline is a (h1, h2) dataset (:func:`export_content_hashes`,
+    typically persisted parquet), so the old corpus is never re-read or
+    re-shuffled: both sides hash-partition on the content hash — one
+    partition-tagged union + ``groupby(part)`` shuffle of 24-byte rows,
+    the ``anti_join_ids`` shape widened to a 128-bit key."""
+    P = num_partitions or N_SHUFFLE_PARTS
+
+    hashed = (
+        new_docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_text_hash_cols, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
+        )
+    )
+
+    def _part(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                (h1.view(np.uint64) * np.uint64(1_000_003) + h2.view(np.uint64))
+                % np.uint64(P)
+            ).astype(np.int32)
+
+    def tag_new(b: pa.Table) -> pa.Table:
+        h1 = b["h1"].to_numpy()
+        h2 = b["h2"].to_numpy()
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": b["doc_id"],
+                "part": pa.array(_part(h1, h2)),
+            }
+        )
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        h1 = b["h1"].to_numpy()
+        h2 = b["h2"].to_numpy()
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": pa.array(np.full(len(h1), -1, dtype=np.int64)),
+                "part": pa.array(_part(h1, h2)),
+            }
+        )
+
+    u = hashed.map_batches(tag_new, batch_format="pyarrow").union(
+        baseline_hashes_ds.map_batches(tag_base, batch_format="pyarrow")
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy()
+        h1 = group["h1"].to_numpy()
+        h2 = group["h2"].to_numpy()
+        is_base = doc == -1
+        new_keys = _h_rows_view(h1[~is_base], h2[~is_base])
+        if new_keys.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_copies": pa.array([], type=pa.int64()),
+                }
+            )
+        seen = ~np.isin(new_keys, np.unique(_h_rows_view(h1[is_base], h2[is_base])))
+        nd = doc[~is_base][seen]
+        nk = new_keys[seen]
+        order = np.argsort(nk, kind="stable")  # groups pairs; stable keeps row order
+        nk, nd = nk[order], nd[order]
+        uniq, starts, counts = np.unique(nk, return_index=True, return_counts=True)
+        # min doc_id per group: a per-segment reduce over the sorted layout
+        surv = np.array(
+            [nd[s : s + c].min() for s, c in zip(starts, counts)], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(surv),
+                "n_copies": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return u.groupby("part").map_groups(resolve, batch_format="pyarrow")
+
+
 _POLY_B = np.uint64(1099511628211)  # FNV prime; uint64 wraparound is the mix
 
 

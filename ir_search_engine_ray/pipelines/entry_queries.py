@@ -822,6 +822,25 @@ def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
 
 
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental exact dedup of a 'new shard' (doc_id % 3 != 0) against
+    the hash export of an 'already-ingested' baseline (doc_id % 3 == 0) —
+    the old corpus never re-shuffles, only its 24-byte hash rows."""
+
+    def _slice(keep_rem0: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            m = (ids % 3 == 0) if keep_rem0 else (ids % 3 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _docs_ds(sf_dir)
+    base = docs.map_batches(_slice(True), batch_format="pyarrow")
+    new = docs.map_batches(_slice(False), batch_format="pyarrow")
+    return dedup.exact_dedup_against(new, dedup.export_content_hashes(base))
+
+
 def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     return splits.split_counts(_docs_ds(sf_dir))
 
@@ -1739,6 +1758,14 @@ FROM probes p JOIN df d ON levenshtein(p.query, d.term) <= {_FUZZY_EDITS}
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
 """,
+        "dedup_incremental": """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+base AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+g AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
+      FROM newd GROUP BY text)
+SELECT doc_id, n_copies FROM g
+WHERE text NOT IN (SELECT text FROM base)
+""",
         "token_count": """
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
@@ -2300,6 +2327,7 @@ def build_queries() -> dict:
         "index_stats_full": q_index_stats_full,
         "index_stats_full_detail": q_index_stats_full_detail,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,

@@ -83,6 +83,68 @@ class TestDedup:
         assert ham[(0, 3)] == 0
 
 
+class TestIncrementalDedup:
+    def test_baseline_drops_seen_content(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        base = _docs_ds([(0, "seen before text"), (1, "also old news")])
+        new = _docs_ds(
+            [
+                (10, "seen before text"),   # in baseline -> dropped
+                (11, "brand new content"),  # unseen, 2 copies
+                (12, "brand new content"),
+                (13, "also old news"),      # in baseline -> dropped
+                (14, "another fresh doc"),
+            ],
+            num_blocks=2,
+        )
+        out = dedup.exact_dedup_against(
+            new, dedup.export_content_hashes(base)
+        ).to_pandas()
+        surv = dict(zip(out["doc_id"], out["n_copies"]))
+        assert surv == {11: 2, 14: 1}
+
+    @pytest.mark.parametrize("num_blocks", [1, 3])
+    def test_empty_baseline_equals_exact_dedup(self, ray_session, num_blocks):
+        import ray.data
+
+        from ir_search_engine_ray.extras import dedup
+
+        rows = [(i, f"doc {'x' * (i % 4)}") for i in range(12)]
+        new = _docs_ds(rows, num_blocks=num_blocks)
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "h1": pa.array([], type=pa.int64()),
+                    "h2": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        got = (
+            dedup.exact_dedup_against(new, empty)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = (
+            dedup.exact_dedup(new)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_everything_seen_returns_empty(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(CORPUS)
+        out = dedup.exact_dedup_against(
+            _docs_ds([(100 + i, t) for i, (_, t) in enumerate(CORPUS)]),
+            dedup.export_content_hashes(docs),
+        )
+        assert out.count() == 0
+
+
 class TestNgramJaccard:
     """Exact prefix-filtered Jaccard self-join: recall 1.0 is a theorem,
     so the whole pipeline must EQUAL brute-force all-pairs Jaccard."""

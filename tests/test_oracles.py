@@ -110,6 +110,7 @@ ORACLED = [
         "ann_cosine_topk",
         "collection_stats_simple",
         "dedup_exact",
+        "dedup_incremental",
         "df_simple",
         "doclen_simple",
         "docmap",
