@@ -175,3 +175,61 @@ def stratified_sample(
         return batch.filter(pa.array(bucket < thr))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+MIX_MOD = 1 << 20  # hash-bucket resolution for target-mix thresholds
+
+
+def target_mix_sample(
+    docs_ds: ray.data.Dataset,
+    *,
+    by: str,
+    weights_ppm: dict[str, int],
+    total: int,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Sample to TARGET mixture proportions — the data-mixing step of a
+    training run: stratum ``s`` should contribute ``weights_ppm[s]/1e6 *
+    total`` documents to the sampled corpus (parts-per-million integer
+    weights).  Unlike :func:`stratified_sample` (fixed per-stratum RATES),
+    the keep rate here is derived from the OBSERVED stratum counts:
+
+        thr_s  = min(MIX_MOD, (w_ppm * total * MIX_MOD) // (n_s * 1_000_000))
+        keep   iff  mix64(id, seed) % MIX_MOD < thr_s
+
+    so the expected stratum yield is ``min(n_s, w_ppm/1e6 * total)`` — a
+    stratum smaller than its target is kept whole (the clamp), never
+    upsampled.  All-integer threshold arithmetic keeps the DuckDB oracle
+    bit-exact.  Strata absent from ``weights_ppm`` are dropped.
+
+    Scale: one stratum-cardinality ``groupby(by).count()`` (driver state
+    is O(strata), like pack_sequences' bucket sums), then a pure
+    per-batch filter map — no data-sized shuffle."""
+    if total <= 0:
+        raise ValueError("total must be positive")
+    for k, v in weights_ppm.items():
+        if int(v) < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0 ppm")
+    counts = {
+        r[by]: int(r["count()"])
+        for r in docs_ds.groupby(by).count().take_all()
+    }
+    thr = {
+        s: min(
+            MIX_MOD,
+            (int(weights_ppm.get(s, 0)) * total * MIX_MOD)
+            // (n * 1_000_000),
+        )
+        for s, n in counts.items()
+        if n > 0
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        bucket = _mix64(ids, seed) % np.uint64(MIX_MOD)
+        strata = batch[by].to_pylist()
+        t = np.array([thr.get(s, 0) for s in strata], dtype=np.uint64)
+        return batch.filter(pa.array(bucket < t))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

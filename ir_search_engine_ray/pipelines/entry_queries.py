@@ -1680,6 +1680,56 @@ def _first_queries(sf_dir: str, n: int = 5) -> list[tuple[int, str]]:
     return list(zip(t["query_id"].to_pylist(), t["text"].to_pylist()))
 
 
+# target-mix weights for the driver query: src19 targets 50% of the mix
+# (clamped — its stratum is smaller than the target), the rest share evenly
+MIX_WEIGHTS_PPM = {f"src{i}": 26315 for i in range(19)} | {"src19": 500000}
+MIX_TOTAL = 300
+
+
+def q_target_mix(sf_dir: str) -> ray.data.Dataset:
+    return splits.target_mix_sample(
+        _docs_ds(sf_dir),
+        by="source",
+        weights_ppm=MIX_WEIGHTS_PPM,
+        total=MIX_TOTAL,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+def _sql_target_mix(seed: int = 17) -> str:
+    """Mirror of ``splits.target_mix_sample``: per-source integer
+    thresholds from observed counts, splitmix-mixed doc_id mod 2^20."""
+    from ..extras.dedup import _SM_ADD, _SM_MUL1, _SM_MUL2
+    from ..extras.splits import MIX_MOD
+
+    m = "18446744073709551616"
+    case = " ".join(
+        f"WHEN '{s}' THEN {ppm}" for s, ppm in MIX_WEIGHTS_PPM.items()
+    )
+    return f"""
+WITH cnt AS (SELECT source, count(*)::HUGEINT AS n FROM documents GROUP BY source),
+th AS (
+  SELECT source,
+         least({MIX_MOD},
+               ((CASE source {case} ELSE 0 END)::HUGEINT
+                * {MIX_TOTAL} * {MIX_MOD}) // (n * 1000000)) AS thr
+  FROM cnt
+),
+h0 AS (
+  SELECT doc_id, source,
+         (doc_id::HUGEINT + {seed} + {int(_SM_ADD)}) % {m} AS z
+  FROM documents
+),
+s2 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM h0),
+s3 AS (SELECT * REPLACE ((z * {int(_SM_MUL1)}) % {m} AS z) FROM s2),
+s4 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM s3),
+s5 AS (SELECT * REPLACE ((z * {int(_SM_MUL2)}) % {m} AS z) FROM s4),
+b AS (SELECT * REPLACE (xor(z, z >> 31) % {MIX_MOD} AS z) FROM s5)
+SELECT doc_id, source FROM b JOIN th USING (source) WHERE z < thr
+"""
+
+
 def _sql_stratified_sample(seed: int = 11) -> str:
     """Mirror of ``splits.stratified_sample``: splitmix-mixed doc_id mod
     10000 vs the per-language basis-point thresholds (generated from the
@@ -2092,6 +2142,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 """,
         "stratified_sample": _sql_stratified_sample(),
+        "target_mix": _sql_target_mix(),
         "json_flatten": """
 SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
 """,
@@ -2365,6 +2416,7 @@ def build_queries() -> dict:
         "event_campaign_join": q_event_campaign_join,
         "rolling_user_stats": q_rolling_user_stats,
         "stratified_sample": q_stratified_sample,
+        "target_mix": q_target_mix,
         "json_flatten": q_json_flatten,
         "json_rollup": q_json_rollup,
         "repetition_signals": q_repetition_signals,

@@ -1208,6 +1208,80 @@ class TestSplits:
             ).to_pandas()
 
 
+class TestTargetMix:
+    @staticmethod
+    def _mixed_ds(n_a=1000, n_b=100, num_blocks=1):
+        import ray.data
+
+        src = ["a"] * n_a + ["b"] * n_b
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(n_a + n_b, dtype=np.int64)
+                ),
+                "source": pa.array(src),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+    def test_targets_hit_and_clamp(self, ray_session):
+        from ir_search_engine_ray.extras import splits
+
+        # targets: a -> 50% of 200 = 100 of 1000 (10% rate);
+        # b -> 50% of 200 = 100 > its 100 docs -> clamped, kept whole
+        out = splits.target_mix_sample(
+            self._mixed_ds(),
+            by="source",
+            weights_ppm={"a": 500000, "b": 500000},
+            total=200,
+        ).to_pandas()
+        by = out.groupby("source").size()
+        assert by["b"] == 100  # clamp keeps the whole small stratum
+        assert 70 <= by["a"] <= 130  # ~100 expected, hashed-id binomial
+
+    def test_partitioning_invariant_and_unweighted_dropped(
+        self, ray_session
+    ):
+        from ir_search_engine_ray.extras import splits
+
+        def run(nb):
+            return (
+                splits.target_mix_sample(
+                    self._mixed_ds(num_blocks=nb),
+                    by="source",
+                    weights_ppm={"a": 1000000},
+                    total=100,
+                )
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+
+        one, four = run(1), run(4)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(one, four)
+        assert set(one["source"]) == {"a"}  # b has no weight -> dropped
+
+    def test_validation(self, ray_session):
+        from ir_search_engine_ray.extras import splits
+
+        with pytest.raises(ValueError):
+            splits.target_mix_sample(
+                self._mixed_ds(10, 1),
+                by="source",
+                weights_ppm={"a": -1},
+                total=5,
+            )
+        with pytest.raises(ValueError):
+            splits.target_mix_sample(
+                self._mixed_ds(10, 1),
+                by="source",
+                weights_ppm={"a": 1},
+                total=0,
+            )
+
+
 class TestNgramCounts:
     def test_bigram_counts(self, ray_session):
         from ir_search_engine_ray.extras import textstats

@@ -93,6 +93,7 @@ ORACLED = [
         "event_campaign_join",
         "rolling_user_stats",
         "stratified_sample",
+        "target_mix",
         "json_flatten",
         "json_rollup",
         "repetition_signals",
