@@ -202,7 +202,8 @@ def _fresh_out_dir(path: str, overwrite: bool) -> None:
     from pathlib import Path
 
     p = Path(path)
-    if p.exists() and any(p.glob("*.parquet")):
+    # recursive: exports like neardup-export land parquet in SUBDIRS
+    if p.exists() and any(p.glob("**/*.parquet")):
         if not overwrite:
             raise SystemExit(
                 f"output dir {path} already holds parquet files; "
@@ -230,6 +231,30 @@ def _cmd_dedup(args) -> None:
         out = dedup.exact_dedup(docs)
     elif args.method == "hash-export":
         out = dedup.export_content_hashes(docs)
+    elif args.method == "neardup-export":
+        buckets, sketches = dedup.export_neardup_baseline(docs)
+        buckets.write_parquet(f"{args.out}/buckets")
+        sketches.write_parquet(f"{args.out}/sketches")
+        import pyarrow.parquet as pq
+
+        print(
+            json.dumps(
+                {
+                    "method": args.method,
+                    "out": args.out,
+                    "n_rows": pq.read_table(
+                        f"{args.out}/sketches", columns=["doc_id"]
+                    ).num_rows,
+                }
+            )
+        )
+        return
+    elif args.method == "minhash" and args.baseline:
+        base_buckets = ray.data.read_parquet(f"{args.baseline}/buckets")
+        base_sketches = ray.data.read_parquet(f"{args.baseline}/sketches")
+        out = dedup.minhash_pairs_against(
+            docs, base_buckets, base_sketches, threshold=args.threshold
+        )
     elif args.method == "exact-normalized":
         out = dedup.exact_dedup_normalized(docs)
     elif args.method == "minhash":
@@ -732,13 +757,15 @@ def main(argv: list[str] | None = None) -> None:
         "--method",
         default="exact",
         choices=("exact", "exact-normalized", "minhash", "jaccard",
-                 "simhash", "clusters", "spans", "hash-export"),
+                 "simhash", "clusters", "spans", "hash-export",
+                 "neardup-export"),
     )
     d.add_argument(
         "--baseline", default=None,
-        help="exact method: parquet of a prior hash-export (h1,h2) or of "
-        "baseline documents; new docs whose content already appears there "
-        "are dropped (incremental ingest dedup)",
+        help="incremental ingest dedup: for exact, a parquet of a prior "
+        "hash-export (h1,h2) or of baseline documents; for minhash, a "
+        "prior neardup-export dir (buckets/ + sketches/) — new docs match "
+        "against it without re-reading the baseline corpus",
     )
     d.add_argument("--span-k", type=int, default=8,
                    help="spans method: duplicated-gram length in tokens")

@@ -961,6 +961,338 @@ def verify_jaccard(
     return staged.groupby("part2").map_groups(verify, batch_format="pyarrow")
 
 
+def minhash_sketches(
+    docs_ds: ray.data.Dataset, *, shingle_k: int = 3
+) -> ray.data.Dataset:
+    """(doc_id, sh) — each doc's sorted-unique shingle-hash array as one
+    binary blob, the exact-Jaccard evidence :func:`verify_jaccard_sketches`
+    consumes without re-reading text."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        sh = [
+            _shingle_hashes(t, shingle_k).tobytes()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array(sh, type=pa.large_binary()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        sketch, batch_format="pyarrow"
+    )
+
+
+def export_neardup_baseline(
+    docs_ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Persistable near-dup baseline of an ingested corpus: (band-bucket
+    rows, shingle sketches).  Both are metadata-sized relative to the
+    text (bands x 12 B + sketch bytes per doc); an incremental ingest
+    matches new docs against these via :func:`minhash_pairs_against`
+    without ever touching the old corpus again — the near-dup sibling of
+    :func:`export_content_hashes`."""
+    sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        minhash_signatures,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    )
+    buckets = sigs.map_batches(
+        band_buckets, fn_kwargs={"bands": bands}, batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.select(["band", "bucket", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    return buckets, minhash_sketches(docs_ds, shingle_k=shingle_k)
+
+
+def _cross_pairs_from_partition(group: pa.Table) -> pa.Table:
+    """One coarse partition -> NEW x BASE candidate pairs only (never
+    new-new or base-base): within each (band, bucket) run, the new-side
+    and base-side index sets cross-product, vectorized."""
+    band = group["band"].to_numpy()
+    bucket = group["bucket"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    is_new = group["is_new"].to_numpy().astype(bool)
+    order = np.lexsort((doc, bucket, band))
+    band, bucket, doc, is_new = (
+        band[order], bucket[order], doc[order], is_new[order]
+    )
+    change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bucket) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [doc.size]))
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        seg_new = doc[s:e][is_new[s:e]]
+        seg_base = doc[s:e][~is_new[s:e]]
+        if seg_new.size == 0 or seg_base.size == 0:
+            continue
+        a_out.append(np.repeat(seg_new, seg_base.size))
+        b_out.append(np.tile(seg_base, seg_new.size))
+    a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+    b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
+def verify_jaccard_sketches(
+    pairs_ds: ray.data.Dataset,
+    sketches_ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    broadcast_pairs_max: int | None = None,
+) -> ray.data.Dataset:
+    """:func:`verify_jaccard` over PRECOMPUTED sketches instead of corpus
+    text — same auto-strategy (bounded broadcast below the pair ceiling,
+    partition-tagged two-shuffle above), same output schema, but the
+    attach stage ships sketch blobs, never text, so baseline docs verify
+    from their export alone."""
+    if broadcast_pairs_max is None:
+        broadcast_pairs_max = BROADCAST_PAIRS_MAX
+    pair_refs, n_pairs = _nonempty_blocks(pairs_ds)
+    if not pair_refs:
+        return ray.data.from_arrow(VERIFY_SCHEMA.empty_table())
+    sk = sketches_ds.map_batches(
+        lambda b: b.select(["doc_id", "sh"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+    if n_pairs <= broadcast_pairs_max:
+        pair_tbl = pa.concat_tables(
+            [t.select(["doc_a", "doc_b"]) for t in ray.get(pair_refs)]
+        )
+        uniq = np.unique(
+            np.stack(
+                [pair_tbl["doc_a"].to_numpy(), pair_tbl["doc_b"].to_numpy()],
+                axis=1,
+            ),
+            axis=0,
+        )
+        da, db = uniq[:, 0], uniq[:, 1]
+        need_ref = ray.put(pa.array(np.unique(np.concatenate([da, db]))))
+
+        def hits(batch: pa.Table) -> pa.Table:
+            need = ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
+            return batch.filter(
+                pa.compute.is_in(batch["doc_id"], value_set=need)
+            )
+
+        sk_refs, _n = _nonempty_blocks(
+            sk.map_batches(hits, batch_format="pyarrow")
+        )
+        sh_map: dict[int, np.ndarray] | None = {}
+        sketch_bytes = 0
+        for ref in sk_refs:
+            t = ray.get(ref)
+            for d, s in zip(t["doc_id"].to_numpy(), t["sh"].to_pylist()):
+                sketch_bytes += len(s)
+                sh_map[int(d)] = np.frombuffer(s, dtype=np.uint64)
+            if sketch_bytes > BROADCAST_SKETCH_BYTES_MAX:
+                sh_map = None
+                break
+        if sh_map is not None:
+            return ray.data.from_arrow(
+                _pair_jaccard(da, db, sh_map, threshold)
+            )
+
+    # ---- partitioned path: identical shape to verify_jaccard's, with the
+    # sketch column standing in for text (the attach stage just forwards it)
+    P = num_partitions or N_SHUFFLE_PARTS
+    pairs = ray.data.from_arrow_refs(pair_refs)
+
+    def tag_sketches(b: pa.Table) -> pa.Table:
+        key = b["doc_id"].to_numpy().astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "sh": b["sh"].cast(pa.large_binary()),
+                "part": pa.array((key % P).astype(np.int32)),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        bb = b["doc_b"].to_numpy().astype(np.int64)
+        key = np.concatenate([a, bb])
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([bb, bb])),
+                "sh": pa.nulls(len(key), type=pa.large_binary()),
+                "part": pa.array((key % P).astype(np.int32)),
+            }
+        )
+
+    u = sk.map_batches(tag_sketches, batch_format="pyarrow").union(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "sh": pa.array([], type=pa.large_binary()),
+                "part2": pa.array([], type=pa.int32()),
+            }
+        )
+        is_pair = pa.compute.not_equal(group["doc_a"], -1)
+        prows = group.filter(is_pair)
+        if prows.num_rows == 0:
+            return empty
+        drows = group.filter(pa.compute.invert(is_pair))
+        sketches = dict(
+            zip(drows["key"].to_numpy(), drows["sh"].to_pylist())
+        )
+        keys = prows["key"].to_numpy()
+        sh = [sketches.get(int(k)) for k in keys]
+        ok = np.array([s is not None for s in sh], dtype=bool)
+        if not ok.any():
+            return empty
+        da = prows["doc_a"].to_numpy()[ok]
+        db = prows["doc_b"].to_numpy()[ok]
+        with np.errstate(over="ignore"):
+            part2 = (
+                (da.astype(np.uint64) * np.uint64(1_000_003)
+                 + db.astype(np.uint64)) % np.uint64(P)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "key": pa.array(keys[ok]),
+                "sh": pa.array(
+                    [s for s in sh if s is not None], type=pa.large_binary()
+                ),
+                "part2": pa.array(part2),
+            }
+        )
+
+    staged = u.groupby("part").map_groups(attach, batch_format="pyarrow")
+    mid_refs, _n = _nonempty_blocks(staged)
+    if not mid_refs:
+        return ray.data.from_arrow(VERIFY_SCHEMA.empty_table())
+    staged = ray.data.from_arrow_refs(mid_refs)
+
+    def verify(group: pa.Table) -> pa.Table:
+        da = group["doc_a"].to_numpy()
+        db = group["doc_b"].to_numpy()
+        key = group["key"].to_numpy()
+        sh = group["sh"]
+        order = np.lexsort((key, db, da))
+        da, db, key = da[order], db[order], key[order]
+        sh = sh.take(pa.array(order))
+        change = np.flatnonzero((np.diff(da) != 0) | (np.diff(db) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [da.size]))
+        oa, ob, oj = [], [], []
+        for s, e in zip(starts, ends):
+            ks = key[s:e]
+            ia = np.flatnonzero(ks == da[s])
+            ib = np.flatnonzero(ks == db[s])
+            if ia.size == 0 or ib.size == 0:
+                continue
+            sa = np.frombuffer(sh[int(s + ia[0])].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(sh[int(s + ib[0])].as_py(), dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = round(inter / union, 6) if union else 0.0
+            if j >= threshold:
+                oa.append(int(da[s]))
+                ob.append(int(db[s]))
+                oj.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, type=pa.int64()),
+                "doc_b": pa.array(ob, type=pa.int64()),
+                "jaccard": pa.array(oj, type=pa.float64()),
+            }
+        )
+
+    return staged.groupby("part2").map_groups(verify, batch_format="pyarrow")
+
+
+def minhash_pairs_against(
+    new_docs_ds: ray.data.Dataset,
+    baseline_buckets_ds: ray.data.Dataset,
+    baseline_sketches_ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Incremental near-dup: (doc_a=new, doc_b=baseline, jaccard) pairs
+    where a NEW doc's exact word-shingle Jaccard against an
+    already-ingested doc reaches ``threshold`` — candidates from shared
+    LSH band buckets (new signatures computed in-flight, baseline buckets
+    from :func:`export_neardup_baseline`), verification from sketch
+    blobs.  The baseline corpus text is never read.
+
+    ``num_perm``/``bands``/``shingle_k`` must match the export's (bucket
+    equality is meaningless across parameterizations).  doc_ids must be
+    distinct across the two sides — the standard monotone-id contract of
+    the ingest path (``append_index`` enforces the same).  New-vs-new
+    duplicates are a plain :func:`minhash_lsh_pairs` over the shard."""
+    new_sigs = new_docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        minhash_signatures,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+    )
+    new_buckets = new_sigs.map_batches(
+        band_buckets, fn_kwargs={"bands": bands}, batch_format="pyarrow"
+    )
+
+    def tag(is_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.replace_schema_metadata(None)
+            bucket = b["bucket"].to_numpy()
+            band = b["band"].to_numpy()
+            with np.errstate(over="ignore"):
+                part = (
+                    (bucket.view(np.uint64) * np.uint64(1_000_003)
+                     + band.astype(np.uint64)) % np.uint64(N_SHUFFLE_PARTS)
+                ).astype(np.int32)
+            return pa.table(
+                {
+                    "band": pa.array(band.astype(np.int32)),
+                    "bucket": pa.array(bucket),
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "is_new": pa.array(
+                        np.full(len(band), is_new, dtype=bool)
+                    ),
+                    "part": pa.array(part),
+                }
+            )
+
+        return f
+
+    u = new_buckets.map_batches(tag(True), batch_format="pyarrow").union(
+        baseline_buckets_ds.map_batches(tag(False), batch_format="pyarrow")
+    )
+    cands = u.groupby("part").map_groups(
+        _cross_pairs_from_partition, batch_format="pyarrow"
+    )
+    sketches = minhash_sketches(new_docs_ds, shingle_k=shingle_k).union(
+        baseline_sketches_ds
+    )
+    return verify_jaccard_sketches(cands, sketches, threshold=threshold)
+
+
 def anti_join_ids(
     ds: ray.data.Dataset,
     ids_ds: ray.data.Dataset,

@@ -841,6 +841,28 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     return dedup.exact_dedup_against(new, dedup.export_content_hashes(base))
 
 
+def q_minhash_against(sf_dir: str) -> ray.data.Dataset:
+    """Incremental near-dup: new shard (doc_id % 3 != 0) vs the persisted
+    LSH/sketch export of the baseline (doc_id % 3 == 0) — baseline text is
+    never re-read by the matcher."""
+
+    def _slice(keep_rem0: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            m = (ids % 3 == 0) if keep_rem0 else (ids % 3 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _docs_ds(sf_dir)
+    base = docs.map_batches(_slice(True), batch_format="pyarrow")
+    new = docs.map_batches(_slice(False), batch_format="pyarrow")
+    buckets, sketches = dedup.export_neardup_baseline(base)
+    return dedup.minhash_pairs_against(
+        new, buckets, sketches, threshold=0.5
+    )
+
+
 def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     return splits.split_counts(_docs_ds(sf_dir))
 
@@ -1580,6 +1602,47 @@ jpairs AS (
 )"""
 
 
+def _sql_minhash_against(threshold: float, shingle_k: int = 3) -> str:
+    """Exact CROSS-set shingle Jaccard oracle for the incremental near-dup
+    path: new shard (doc_id % 3 != 0) vs baseline (doc_id % 3 == 0).  As
+    with minhash_pairs, LSH banding is recall-1.0 at driver scale, so
+    verified candidates == exact cross pairs."""
+    k = shingle_k
+
+    def side(name: str, pred: str) -> str:
+        return f"""jt{name} AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents WHERE {pred}
+),
+js{name} AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < {k} THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ts) - {k - 2}),
+                   i -> {" || ' ' || ".join(f"ts[i+{j}]" for j in range(k))}))
+         END AS shingles
+  FROM jt{name} WHERE len(ts) > 0
+),
+je{name} AS (SELECT doc_id, unnest(shingles) AS s FROM js{name}),
+jc{name} AS (SELECT doc_id, len(shingles) AS n FROM js{name})"""
+
+    return f"""
+WITH {side("N", "doc_id % 3 <> 0")},
+{side("B", "doc_id % 3 = 0")},
+jinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM jeN a JOIN jeB b ON a.s = b.s
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+  FROM jinter
+  JOIN jcN ca ON ca.doc_id = doc_a
+  JOIN jcB cb ON cb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jp WHERE jaccard >= {threshold}
+"""
+
+
 def _sql_minhash_pairs(threshold: float, shingle_k: int = 3) -> str:
     """Exact all-pairs word-shingle Jaccard oracle.  The LSH banding is
     recall-1.0 at driver scale (every true pair's Jaccard is far above the
@@ -1851,6 +1914,7 @@ FROM grams GROUP BY 1 HAVING count(*) >= 2
 """,
         "minhash_pairs": _sql_minhash_pairs(threshold=0.5),
         "jaccard_pairs": _sql_minhash_pairs(threshold=0.5),
+        "minhash_against": _sql_minhash_against(threshold=0.5),
         "simhash_pairs": _sql_simhash_pairs(max_hamming=3),
         "curated_docs": _sql_curated_docs(),
         "dataset_split": _sql_dataset_split(),
@@ -2397,6 +2461,7 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "minhash_against": q_minhash_against,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "curated_docs": q_curated_docs,

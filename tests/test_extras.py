@@ -145,6 +145,91 @@ class TestIncrementalDedup:
         assert out.count() == 0
 
 
+class TestNearDupAgainst:
+    BASE = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "completely different content about thermal boundary layers"),
+    ]
+    NEW = [
+        (100, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of base 0
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),  # exact dup of new 100
+        (102, "entirely unrelated musings on distributed query planning"),
+    ]
+
+    def _run(self, ray_session, roundtrip_dir=None):
+        from ir_search_engine_ray.extras import dedup
+
+        base = _docs_ds(self.BASE)
+        new = _docs_ds(self.NEW, num_blocks=2)
+        buckets, sketches = dedup.export_neardup_baseline(base)
+        if roundtrip_dir is not None:
+            bdir = f"{roundtrip_dir}/buckets"
+            sdir = f"{roundtrip_dir}/sketches"
+            buckets.write_parquet(bdir)
+            sketches.write_parquet(sdir)
+            import ray.data
+
+            buckets = ray.data.read_parquet(bdir)
+            sketches = ray.data.read_parquet(sdir)
+        out = dedup.minhash_pairs_against(
+            new, buckets, sketches, threshold=0.5
+        ).to_pandas()
+        if out.empty:
+            return {}
+        return {
+            (a, b): j
+            for a, b, j in out[["doc_a", "doc_b", "jaccard"]].itertuples(
+                index=False
+            )
+        }
+
+    def test_new_vs_base_only(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        got = self._run(ray_session)
+        sa = dedup._shingles(self.BASE[0][1], 3)
+        sb = dedup._shingles(self.NEW[0][1], 3)
+        expect = round(len(sa & sb) / len(sa | sb), 6)
+        # both near-dup copies match base 0; the new-new exact pair
+        # (100, 101) and base-base pairs must NOT appear
+        assert got == {(100, 0): expect, (101, 0): expect}
+
+    def test_export_roundtrips_through_parquet(self, ray_session, tmp_path):
+        assert self._run(ray_session, roundtrip_dir=str(tmp_path)) == self._run(
+            ray_session
+        )
+
+    def test_sketch_verify_paths_agree(self, ray_session):
+        from ir_search_engine_ray.extras import dedup
+
+        docs = _docs_ds(self.BASE + self.NEW)
+        pairs = _docs_ds([])  # build pairs table directly instead
+        import ray.data
+
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([100, 101, 102], type=pa.int64()),
+                    "doc_b": pa.array([0, 0, 1], type=pa.int64()),
+                }
+            )
+        )
+        sk = dedup.minhash_sketches(docs)
+        bc = dedup.verify_jaccard_sketches(
+            pairs, sk, threshold=0.0
+        ).to_pandas()
+        part = dedup.verify_jaccard_sketches(
+            pairs, sk, threshold=0.0, broadcast_pairs_max=0
+        ).to_pandas()
+        key = ["doc_a", "doc_b"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            bc.sort_values(key, ignore_index=True),
+            part.sort_values(key, ignore_index=True),
+        )
+
+
 class TestNgramJaccard:
     """Exact prefix-filtered Jaccard self-join: recall 1.0 is a theorem,
     so the whole pipeline must EQUAL brute-force all-pairs Jaccard."""

@@ -70,6 +70,7 @@ ORACLED = [
         "doc_fingerprint",
         "minhash_pairs",
         "jaccard_pairs",
+        "minhash_against",
         "simhash_pairs",
         "curated_docs",
         "dedup_clusters",
