@@ -306,6 +306,26 @@ def bench_r5_info(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     q_doclen_quantiles_sampled(sf_dir)
     out["sampled_quantiles_s"] = time.perf_counter() - t0
+
+    # round-5 additions (driver queries over the documents table,
+    # info-only): exact prefix-filtered Jaccard self-join, incremental
+    # exact + near-dup ingest dedup, sliding-window chunking
+    from ir_search_engine_ray.pipelines.entry_queries import (
+        q_chunk_documents,
+        q_dedup_incremental,
+        q_jaccard_pairs,
+        q_minhash_against,
+    )
+
+    for name, fn in (
+        ("jaccard_pairs_s", q_jaccard_pairs),
+        ("dedup_incremental_s", q_dedup_incremental),
+        ("minhash_against_s", q_minhash_against),
+        ("chunk_documents_s", q_chunk_documents),
+    ):
+        t0 = time.perf_counter()
+        fn(sf_dir).materialize()  # all four return lazy Datasets
+        out[name] = time.perf_counter() - t0
     return out
 
 
