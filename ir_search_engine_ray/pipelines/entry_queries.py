@@ -818,8 +818,12 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """Exact n-gram Jaccard self-join (prefix-filter candidates + exact
     verify) — same oracle as minhash_pairs, but here recall 1.0 is a
-    theorem of the prefix filter, not an LSH-parameter property."""
-    return dedup.ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=0.5)
+    theorem of the prefix filter, not an LSH-parameter property.
+    order='df' (sampled rarest-first) measured ~3x faster candidate
+    generation at sf0.1 with an identical pair set."""
+    return dedup.ngram_jaccard_pairs(
+        _docs_ds(sf_dir), threshold=0.5, order="df"
+    )
 
 
 def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
