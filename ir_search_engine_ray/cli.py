@@ -297,6 +297,19 @@ def _cmd_curate(args) -> None:
 
     _fresh_out_dir(args.out, args.overwrite)
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    baseline_hashes = (
+        ray.data.read_parquet(args.baseline_hashes)
+        if args.baseline_hashes
+        else None
+    )
+    baseline_neardup = (
+        (
+            ray.data.read_parquet(f"{args.baseline_neardup}/buckets"),
+            ray.data.read_parquet(f"{args.baseline_neardup}/sketches"),
+        )
+        if args.baseline_neardup
+        else None
+    )
     out = curate(
         docs,
         min_tokens=args.min_tokens,
@@ -305,20 +318,25 @@ def _cmd_curate(args) -> None:
         jaccard_threshold=args.jaccard,
         min_logprob=args.min_logprob,
         max_dup_span_frac=args.max_dup_span_frac,
+        baseline_hashes=baseline_hashes,
+        baseline_neardup=baseline_neardup,
     )
     out.write_parquet(args.out)
     import pyarrow.parquet as pq
+    from pathlib import Path as _Path
 
-    t = pq.read_table(args.out, columns=["n_tokens"])
+    # a fully-deduped incremental shard is legitimately empty
+    if any(_Path(args.out).glob("*.parquet")):
+        t = pq.read_table(args.out, columns=["n_tokens"])
+        n_docs = t.num_rows
+        total = int(
+            __import__("pyarrow").compute.sum(t["n_tokens"]).as_py() or 0
+        )
+    else:
+        n_docs, total = 0, 0
     print(
         json.dumps(
-            {
-                "out": args.out,
-                "n_docs": t.num_rows,
-                "total_tokens": int(
-                    __import__("pyarrow").compute.sum(t["n_tokens"]).as_py() or 0
-                ),
-            }
+            {"out": args.out, "n_docs": n_docs, "total_tokens": total}
         )
     )
 
@@ -793,6 +811,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--max-dup-span-frac", type=float, default=None,
                    help="drop docs where cross-doc duplicated 8-gram "
                         "spans cover more than this token fraction")
+    c.add_argument("--baseline-hashes", default=None,
+                   help="dedup hash-export parquet of the already-curated "
+                        "corpus: drop new docs whose content exists there")
+    c.add_argument("--baseline-neardup", default=None,
+                   help="dedup neardup-export dir (buckets/ + sketches/): "
+                        "also drop new docs near-matching the baseline")
     c.add_argument("--overwrite", action="store_true")
     c.set_defaults(fn=_cmd_curate)
 

@@ -961,6 +961,75 @@ def verify_jaccard(
     return staged.groupby("part2").map_groups(verify, batch_format="pyarrow")
 
 
+def ids_in_baseline(
+    docs_ds: ray.data.Dataset,
+    baseline_hashes_ds: ray.data.Dataset,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """doc_ids of ``docs_ds`` whose 128-bit content hash appears in the
+    baseline export — the membership complement of
+    :func:`exact_dedup_against`, for pipelines that need a DROP list to
+    anti-join (curate's incremental gate).  Same partition-tagged
+    24-byte-row shuffle; no driver-side structure."""
+    P = num_partitions or N_SHUFFLE_PARTS
+
+    hashed = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_text_hash_cols, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
+        )
+    )
+
+    def _part(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                (h1.view(np.uint64) * np.uint64(1_000_003) + h2.view(np.uint64))
+                % np.uint64(P)
+            ).astype(np.int32)
+
+    def tag(doc_marker: int | None):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.replace_schema_metadata(None)
+            h1 = b["h1"].to_numpy()
+            h2 = b["h2"].to_numpy()
+            doc = (
+                b["doc_id"].cast(pa.int64())
+                if doc_marker is None
+                else pa.array(np.full(len(h1), doc_marker, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "h1": pa.array(h1),
+                    "h2": pa.array(h2),
+                    "doc_id": doc,
+                    "part": pa.array(_part(h1, h2)),
+                }
+            )
+
+        return f
+
+    u = hashed.map_batches(tag(None), batch_format="pyarrow").union(
+        baseline_hashes_ds.map_batches(tag(-1), batch_format="pyarrow")
+    )
+
+    def probe(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy()
+        h1 = group["h1"].to_numpy()
+        h2 = group["h2"].to_numpy()
+        is_base = doc == -1
+        new_keys = _h_rows_view(h1[~is_base], h2[~is_base])
+        if new_keys.size == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        hit = np.isin(
+            new_keys, np.unique(_h_rows_view(h1[is_base], h2[is_base]))
+        )
+        return pa.table({"doc_id": pa.array(doc[~is_base][hit])})
+
+    return u.groupby("part").map_groups(probe, batch_format="pyarrow")
+
+
 def minhash_sketches(
     docs_ds: ray.data.Dataset, *, shingle_k: int = 3
 ) -> ray.data.Dataset:

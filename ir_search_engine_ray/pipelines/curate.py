@@ -116,6 +116,8 @@ def curate(
     min_logprob: float | None = None,
     max_dup_span_frac: float | None = None,
     span_k: int = 8,
+    baseline_hashes: ray.data.Dataset | None = None,
+    baseline_neardup: tuple[ray.data.Dataset, ray.data.Dataset] | None = None,
 ) -> ray.data.Dataset:
     """documents -> curated (doc_id, n_tokens, n_pieces), streaming.
 
@@ -133,7 +135,21 @@ def curate(
       flag set is computed with a native per-doc Sum aggregate over the
       tagged union of the accounting and span tables, then applied as
       the same distributed anti-join as the near-dup drop — still no
-      driver-side id structure anywhere."""
+      driver-side id structure anywhere.
+
+    Incremental-ingest gates (opt-in, for curating a NEW shard into an
+    already-curated corpus; both are the persisted exports of
+    ``extras.dedup`` so the old corpus is never re-read):
+
+    - ``baseline_hashes``: (h1, h2) content-hash export
+      (:func:`..extras.dedup.export_content_hashes`); exact-dup survivors
+      whose content already exists in the baseline are dropped via
+      :func:`..extras.dedup.ids_in_baseline` + the standard anti-join.
+    - ``baseline_neardup``: (buckets, sketches) export
+      (:func:`..extras.dedup.export_neardup_baseline`); survivors that
+      near-match a baseline doc at ``jaccard_threshold``
+      (:func:`..extras.dedup.minhash_pairs_against`) are dropped the
+      same way — in addition to the within-shard near-dup drop."""
     gated = docs_ds.map_batches(
         quality_lang_gate,
         fn_kwargs={
@@ -177,6 +193,11 @@ def curate(
     # execution re-runs the gate + dedup shuffle once per consumer.  Blocks
     # stay in the (spillable) object store — cache beats recompute here.
     survivors = exact_survivors(gated).materialize()
+    if baseline_hashes is not None:
+        seen = dedup.ids_in_baseline(survivors, baseline_hashes)
+        survivors = dedup.anti_join_ids(
+            survivors, seen, on="doc_id", ids_col="doc_id"
+        ).materialize()
     pairs = dedup.verify_jaccard(
         dedup.minhash_lsh_pairs(survivors, dedupe=False), survivors,
         threshold=jaccard_threshold,
@@ -184,6 +205,14 @@ def curate(
     # distributed left-anti join: drop the doc_b side of every verified
     # pair — NO driver-collected id structure anywhere in the curate DAG
     kept = dedup.anti_join_ids(survivors, pairs, on="doc_id", ids_col="doc_b")
+    if baseline_neardup is not None:
+        base_buckets, base_sketches = baseline_neardup
+        cross = dedup.minhash_pairs_against(
+            survivors, base_buckets, base_sketches,
+            threshold=jaccard_threshold,
+        )
+        # the NEW doc is the pair's doc_a side here
+        kept = dedup.anti_join_ids(kept, cross, on="doc_id", ids_col="doc_a")
 
     def account(batch: pa.Table) -> pa.Table:
         toks = textstats.token_count(batch)

@@ -864,6 +864,38 @@ class TestCurate:
         by_id = out.set_index("doc_id")
         assert by_id.loc[0, "n_tokens"] == len(CORPUS[0][1].split())
 
+    def test_curate_incremental_baselines(self, ray_session):
+        """Incremental shard vs an already-curated baseline: exact matches
+        fall to the hash gate, near-matches to the cross near-dup gate,
+        genuinely new content survives."""
+        from ir_search_engine_ray.extras import dedup
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        base_rows = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "an entirely separate treatise on turbine blade cooling flows"),
+        ]
+        new_rows = [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact == base 0
+            (101, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of base 0
+            (102, "fresh analysis of sediment transport in mountain stream networks"),
+        ]
+        base = _docs_ds(base_rows)
+        hashes = dedup.export_content_hashes(base)
+        buckets, sketches = dedup.export_neardup_baseline(base)
+        out = curate(
+            _docs_ds(new_rows, num_blocks=2),
+            baseline_hashes=hashes,
+            baseline_neardup=(buckets, sketches),
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [102]
+
+        # hash gate alone: the near-dup (101) survives
+        out2 = curate(
+            _docs_ds(new_rows, num_blocks=2), baseline_hashes=hashes
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == [101, 102]
+
     def test_curate_knobs(self, ray_session):
         from ir_search_engine_ray.pipelines.curate import curate
 
