@@ -3942,3 +3942,109 @@ class TestAnnTieDeterminism:
                 pa.compute.equal(bt["query_id"], 0)
             )["vec_id"].to_pylist()
             assert sub[:9] == list(range(1, 10)), nb
+
+
+class TestChunkCoverageProperty:
+    @pytest.mark.parametrize(
+        "window,stride", [(1, 1), (4, 3), (8, 8), (5, 2), (3, 7), (16, 5)]
+    )
+    def test_every_token_covered_and_rule_exact(
+        self, ray_session, window, stride
+    ):
+        """For every doc length 0..40: chunk starts are exactly
+        range(0, n, stride), slices are tokens[s:s+window], and (when
+        stride <= window) every token index is covered by >= 1 chunk."""
+        from ir_search_engine_ray.extras import packing
+
+        texts = [
+            " ".join(f"t{chr(97 + j % 26)}{chr(97 + j // 26)}" for j in range(n))
+            for n in range(41)
+        ]
+        out = packing.chunk_documents(
+            _ds_texts(texts), window=window, stride=stride
+        ).to_pandas()
+        for doc_id in range(41):
+            n = doc_id  # doc i has i tokens
+            toks = texts[doc_id].split()
+            rows = out[out["doc_id"] == doc_id].sort_values("chunk_id")
+            want_starts = list(range(0, n, stride))
+            assert rows["start_tok"].tolist() == want_starts
+            covered = set()
+            for s, text in zip(rows["start_tok"], rows["text"]):
+                want = toks[s : s + window]
+                assert text.split() == want
+                covered.update(range(s, min(s + window, n)))
+            if stride <= window:
+                assert covered == set(range(n))
+
+
+def _ds_texts(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64)
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+class TestPrefixFilterProperty:
+    def test_pure_kernel_recall_superset(self):
+        """Hypothesis over random corpora and thresholds: the PURE prefix
+        kernel chain (prefix_filter_rows -> _sized_pairs_partition, no
+        Ray) admits every pair whose exact shingle Jaccard reaches the
+        threshold — the recall-1.0 theorem exercised adversarially."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ir_search_engine_ray.extras import dedup
+
+        word = st.integers(min_value=0, max_value=12).map(
+            lambda i: "w" + chr(97 + i)
+        )
+        doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+        @given(
+            st.lists(doc, min_size=2, max_size=10),
+            st.floats(min_value=0.05, max_value=1.0),
+        )
+        @settings(max_examples=200, deadline=None)
+        def check(texts, threshold):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64)
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+            rows = dedup.prefix_filter_rows(
+                t, shingle_k=3, threshold=threshold
+            )
+            cands = dedup._sized_pairs_partition(rows, threshold)
+            cand_set = set(
+                zip(
+                    cands["doc_a"].to_pylist(),
+                    cands["doc_b"].to_pylist(),
+                )
+            )
+            shs = {
+                i: dedup._shingles(x, 3) for i, x in enumerate(texts)
+            }
+            for a in range(len(texts)):
+                for b in range(a + 1, len(texts)):
+                    sa, sb = shs[a], shs[b]
+                    if not sa or not sb:
+                        continue
+                    j = len(sa & sb) / len(sa | sb)
+                    if j >= threshold:
+                        assert (a, b) in cand_set, (
+                            texts, threshold, a, b, j
+                        )
+
+        check()
