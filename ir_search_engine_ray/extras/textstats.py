@@ -205,6 +205,163 @@ def hash_token(tok: str) -> int:
     return h
 
 
+def bigram_pmi(
+    docs_ds: ray.data.Dataset, *, min_count: int = 2
+) -> ray.data.Dataset:
+    """Collocation strength: (ngram, count, pmi) for every bigram with
+    ``count >= min_count``, where ``pmi = ln(p(ab) / (p(a) p(b)))``
+    computed as ``ln(c_ab * T1 * T1 / (c_a * c_b * T2))`` — T1/T2 the
+    corpus unigram/bigram totals (float arithmetic ordered exactly as the
+    DuckDB oracle writes it, rounded to 6).  The phrase-mining /
+    tokenizer-merge-scoring staple.
+
+    Scale shape: unigram and bigram tables come from the
+    :func:`ngram_counts` combiners (vocabulary-sized, never the token
+    stream); the two unigram-count attachments are partition-tagged
+    unions + ``groupby(part)`` — the anti_join_ids co-location shape with
+    an attach instead of a drop.  Totals are two scalar aggregates; no
+    driver-side vocabulary."""
+    P = 64
+    uni = ngram_counts(docs_ds, n=1).materialize()
+    bi_all = ngram_counts(docs_ds, n=2).materialize()
+    t1 = float(uni.sum("count"))
+    t2 = float(bi_all.sum("count"))
+    bi = bi_all.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["count"], min_count)),
+        batch_format="pyarrow",
+    )
+
+    def _wpart(words: list[str]) -> np.ndarray:
+        import zlib
+
+        return np.array(
+            [zlib.crc32(w.encode()) % P for w in words], dtype=np.int32
+        )
+
+    def tag_uni(b: pa.Table) -> pa.Table:
+        words = b["ngram"].to_pylist()
+        n = len(words)
+        return pa.table(
+            {
+                "w": pa.array(words, type=pa.string()),
+                "ngram": pa.nulls(n, type=pa.string()),
+                "cnt": b["count"].cast(pa.int64()),
+                "carry": pa.array(np.zeros(n, dtype=np.int64)),
+                "part": pa.array(_wpart(words)),
+            }
+        )
+
+    def tag_bi(word_idx: int):
+        def f(b: pa.Table) -> pa.Table:
+            ngrams = b["ngram"].to_pylist()
+            words = [g.split(" ")[word_idx] for g in ngrams]
+            carry = (
+                b["carry"]
+                if "carry" in b.column_names
+                else pa.array(np.zeros(len(ngrams), dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "w": pa.array(words, type=pa.string()),
+                    "ngram": pa.array(ngrams, type=pa.string()),
+                    "cnt": b["count"].cast(pa.int64()),
+                    "carry": carry,
+                    "part": pa.array(_wpart(words)),
+                }
+            )
+
+        return f
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_bi = pa.compute.is_valid(group["ngram"])
+        brows = group.filter(is_bi)
+        if brows.num_rows == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], type=pa.string()),
+                    "count": pa.array([], type=pa.int64()),
+                    "carry": pa.array([], type=pa.int64()),
+                }
+            )
+        urows = group.filter(pa.compute.invert(is_bi))
+        umap = dict(
+            zip(urows["w"].to_pylist(), urows["cnt"].to_numpy())
+        )
+        # every bigram word exists in the unigram vocabulary by construction
+        att = np.array(
+            [umap[w] for w in brows["w"].to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "ngram": brows["ngram"],
+                "count": brows["cnt"],
+                "carry": pa.array(att),
+            }
+        )
+
+    # pass 1 attaches c_a (left word) into `carry`; pass 2 re-tags by the
+    # right word with c_a riding along, attaches c_b, and finishes
+    s1 = (
+        bi.map_batches(tag_bi(0), batch_format="pyarrow")
+        .union(uni.map_batches(tag_uni, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def retag(b: pa.Table) -> pa.Table:
+        ngrams = b["ngram"].to_pylist()
+        words = [g.split(" ")[1] for g in ngrams]
+        return pa.table(
+            {
+                "w": pa.array(words, type=pa.string()),
+                "ngram": b["ngram"],
+                "cnt": b["count"].cast(pa.int64()),
+                "carry": b["carry"],
+                "part": pa.array(_wpart(words)),
+            }
+        )
+
+    def attach2(group: pa.Table) -> pa.Table:
+        is_bi = pa.compute.is_valid(group["ngram"])
+        brows = group.filter(is_bi)
+        if brows.num_rows == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], type=pa.string()),
+                    "count": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        urows = group.filter(pa.compute.invert(is_bi))
+        umap = dict(
+            zip(urows["w"].to_pylist(), urows["cnt"].to_numpy())
+        )
+        cb = np.array(
+            [umap[w] for w in brows["w"].to_pylist()], dtype=np.int64
+        )
+        cab = brows["cnt"].to_numpy()
+        ca = brows["carry"].to_numpy()
+        # float op order mirrors the SQL oracle exactly:
+        # (cnt::DOUBLE * T1 * T1) / (c_a * c_b * T2)::DOUBLE
+        num = cab.astype(np.float64) * t1 * t1
+        den = (ca * cb * np.int64(t2)).astype(np.float64)
+        pmi = np.round(np.log(num / den), 6)
+        return pa.table(
+            {
+                "ngram": brows["ngram"],
+                "count": pa.array(cab, type=pa.int64()),
+                "pmi": pa.array(pmi, type=pa.float64()),
+            }
+        )
+
+    return (
+        s1.map_batches(retag, batch_format="pyarrow")
+        .union(uni.map_batches(tag_uni, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach2, batch_format="pyarrow")
+    )
+
+
 def ngram_counts(
     docs_ds: ray.data.Dataset, *, n: int = 2, min_count: int = 1
 ) -> ray.data.Dataset:

@@ -615,6 +615,10 @@ def q_bigram_counts(sf_dir: str) -> ray.data.Dataset:
     return textstats.ngram_counts(_docs_ds(sf_dir), n=2, min_count=2)
 
 
+def q_bigram_pmi(sf_dir: str) -> ray.data.Dataset:
+    return textstats.bigram_pmi(_docs_ds(sf_dir), min_count=2)
+
+
 def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _docs_ds(sf_dir).map_batches(
         textstats.doc_fingerprint, batch_format="pyarrow"
@@ -1904,6 +1908,26 @@ FROM fp GROUP BY fingerprint
 SELECT count(*)::BIGINT AS n_docs
 FROM read_parquet('{fx}/transcripts/*.parquet')
 """,
+        "bigram_pmi": f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+),
+g2 AS (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))
+           AS ngram
+  FROM toks WHERE len(ts) >= 2
+),
+c2 AS (SELECT ngram, count(*)::BIGINT AS cnt FROM g2 GROUP BY 1),
+g1 AS (SELECT unnest(ts) AS w FROM toks),
+c1 AS (SELECT w, count(*)::BIGINT AS cnt FROM g1 GROUP BY 1),
+tot AS (SELECT (SELECT sum(cnt) FROM c1) AS t1, (SELECT sum(cnt) FROM c2) AS t2)
+SELECT ngram, c2.cnt AS count,
+       round(ln(c2.cnt::DOUBLE * t1 * t1 / (a.cnt * b.cnt * t2)), 6) AS pmi
+FROM c2, tot
+JOIN c1 a ON a.w = split_part(ngram, ' ', 1)
+JOIN c1 b ON b.w = split_part(ngram, ' ', 2)
+WHERE c2.cnt >= 2
+""",
         "bigram_counts": f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
@@ -2454,6 +2478,7 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "bigram_counts": q_bigram_counts,
+        "bigram_pmi": q_bigram_pmi,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_append_full": q_ann_append_full,

@@ -1325,6 +1325,36 @@ class TestSplits:
             ).to_pandas()
 
 
+class TestBigramPmi:
+    @pytest.mark.parametrize("num_blocks", [1, 3])
+    def test_known_values(self, ray_session, num_blocks):
+        import math
+
+        from ir_search_engine_ray.extras import textstats
+
+        # corpus: "a b" x3 plus "a c" x1 -> T1=8, T2=4
+        rows = [(0, "a b a b"), (1, "a b a c")]
+        out = (
+            textstats.bigram_pmi(
+                _docs_ds(rows, num_blocks=num_blocks), min_count=2
+            )
+            .to_pandas()
+            .set_index("ngram")
+        )
+        # bigrams in "a b a b": (a b) (b a) (a b); in "a b a c":
+        # (a b) (b a) (a c) -> counts: "a b"=3, "b a"=2, "a c"=1
+        assert sorted(out.index) == ["a b", "b a"]
+        t1, t2 = 8.0, 6.0
+        ca, cb_, cc = 4, 3, 1
+        assert out.loc["a b", "count"] == 3
+        assert out.loc["a b", "pmi"] == round(
+            math.log(3 * t1 * t1 / (ca * cb_ * t2)), 6
+        )
+        assert out.loc["b a", "pmi"] == round(
+            math.log(2 * t1 * t1 / (cb_ * ca * t2)), 6
+        )
+
+
 class TestTargetMix:
     @staticmethod
     def _mixed_ds(n_a=1000, n_b=100, num_blocks=1):

@@ -64,6 +64,7 @@ ORACLED = [
         "phrase_positions",
         "boolean_simple",
         "bigram_counts",
+        "bigram_pmi",
         "dataset_split",
         "corpus_stats",
         "dedup_exact_normalized",
