@@ -643,6 +643,22 @@ def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
     return ann.cosine_topk(emb, _query_vec(sf_dir, 0), k=10, exclude=0)
 
 
+def q_ann_filtered(sf_dir: str) -> pa.Table:
+    """Metadata-filtered exact ANN: cosine top-k restricted to
+    label == 1 vectors, with the predicate PUSHED INTO the parquet read
+    (pyarrow row-group pruning — disallowed rows never enter the object
+    store, unlike a post-read mask)."""
+    import pyarrow.dataset as pads
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+        filter=(pads.field("label") == 1),
+    )
+    return ann.cosine_topk(emb, _query_vec(sf_dir, 0), k=10, exclude=0)
+
+
 def q_event_windows(sf_dir: str) -> ray.data.Dataset:
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", override_num_blocks=8)
     return windows.tumbling_counts(ev)
@@ -2025,6 +2041,15 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
         "ann_cosine_topk": _SQL_ANN_EXACT,
+        "ann_filtered": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND e.label = 1
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 10
+""",
         "ann_ivf_full": _SQL_ANN_EXACT,
         "ann_append_full": _SQL_ANN_EXACT,
         "ann_lsh_full": _SQL_ANN_EXACT,
@@ -2480,6 +2505,7 @@ def build_queries() -> dict:
         "bigram_counts": q_bigram_counts,
         "bigram_pmi": q_bigram_pmi,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_filtered": q_ann_filtered,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_append_full": q_ann_append_full,
         "ann_batch_topk": q_ann_batch_topk,

@@ -111,6 +111,7 @@ ORACLED = [
         # by the driver snapshot) — the full 56-oracle contract now has a
         # uniform in-repo gate
         "ann_cosine_topk",
+        "ann_filtered",
         "collection_stats_simple",
         "dedup_exact",
         "dedup_incremental",
