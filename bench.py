@@ -487,22 +487,25 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> None:
     from ir_search_engine_ray.datagen import fixture_dir
 
     fixture_dir(scaling_sf)  # generate once, off both children's clocks
+    def _run_child(n: int) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, __file__, "--child", str(n)],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).parent),
+            env={
+                **os.environ,
+                "GRAFT_SF_DIR": scaling_sf,
+                "GRAFT_BENCH_ROOT": os.environ.get(
+                    "GRAFT_BENCH_ROOT", "/dev/shm/graft_bench"
+                ),
+            },
+        )
+
     results: dict[int, dict] = {}
     for rep in range(reps):
         for n in (lo, hi):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--child", str(n)],
-                capture_output=True,
-                text=True,
-                cwd=str(Path(__file__).parent),
-                env={
-                    **os.environ,
-                    "GRAFT_SF_DIR": scaling_sf,
-                    "GRAFT_BENCH_ROOT": os.environ.get(
-                        "GRAFT_BENCH_ROOT", "/dev/shm/graft_bench"
-                    ),
-                },
-            )
+            proc = _run_child(n)
             if proc.returncode != 0:
                 # Ray 2.49 has a rare internal startup race
                 # (reference_count.cc "submitted_task_ref_count > 0"
@@ -510,19 +513,7 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> None:
                 # nondeterministic, so one retry per slot recovers it
                 sys.stderr.write(proc.stderr[-2000:])
                 sys.stderr.write(f"\nscaling child num_cpus={n} crashed; retrying once\n")
-                proc = subprocess.run(
-                    [sys.executable, __file__, "--child", str(n)],
-                    capture_output=True,
-                    text=True,
-                    cwd=str(Path(__file__).parent),
-                    env={
-                        **os.environ,
-                        "GRAFT_SF_DIR": scaling_sf,
-                        "GRAFT_BENCH_ROOT": os.environ.get(
-                            "GRAFT_BENCH_ROOT", "/dev/shm/graft_bench"
-                        ),
-                    },
-                )
+                proc = _run_child(n)
             if proc.returncode != 0:
                 sys.stderr.write(proc.stderr)
                 raise SystemExit(f"scaling child num_cpus={n} failed")

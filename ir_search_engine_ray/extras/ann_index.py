@@ -93,7 +93,7 @@ def build_ann_index(
     assigned.sort("cluster").write_parquet(
         str(tmp / "assign"), partition_cols=["cluster"]
     )
-    n_rows, max_id = _tree_stats(tmp / "assign", id_col)
+    n_rows, max_id, _min_id = _tree_stats(tmp / "assign", id_col)
     d = cent.shape[1]
     off = np.arange(0, (cent.shape[0] + 1) * d, d, dtype=np.int32)
     pq.write_table(
@@ -137,12 +137,17 @@ def build_ann_index(
     return marker
 
 
-def _tree_stats(tree: Path, id_col: str) -> tuple[int, int | None]:
-    """(row count, max id) of a written assignment tree, from the parquet
-    FOOTERS (row counts + column min/max statistics) — no data read; falls
-    back to reading the id column of any file whose stats are absent."""
+def _tree_stats(
+    tree: Path, id_col: str
+) -> tuple[int, int | None, int | None]:
+    """(row count, max id, min id) of a written assignment tree, from the
+    parquet FOOTERS (row counts + column min/max statistics) — no data
+    read; falls back to reading the id column of any file whose stats are
+    absent.  The min rides along so append-id validation needs no extra
+    full pass over the (possibly computed) input dataset."""
     n = 0
     mx: int | None = None
+    mn: int | None = None
     for p in tree.rglob("*.parquet"):
         md = pq.read_metadata(p)
         n += md.num_rows
@@ -150,17 +155,21 @@ def _tree_stats(tree: Path, id_col: str) -> tuple[int, int | None]:
             continue
         idx = md.schema.names.index(id_col)
         file_mx: int | None = None
+        file_mn: int | None = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
                 file_mx = None
                 break
             file_mx = st.max if file_mx is None else max(file_mx, st.max)
+            file_mn = st.min if file_mn is None else min(file_mn, st.min)
         if file_mx is None:  # stats missing: read just the id column
             col = pq.read_table(p, columns=[id_col])[id_col]
             file_mx = int(pa.compute.max(col).as_py())
+            file_mn = int(pa.compute.min(col).as_py())
         mx = int(file_mx) if mx is None else max(mx, int(file_mx))
-    return n, mx
+        mn = int(file_mn) if mn is None else min(mn, int(file_mn))
+    return n, mx, mn
 
 
 def append_ann_index(
@@ -205,13 +214,6 @@ def append_ann_index(
             f"appended embeddings have dim {got_dim}, index has "
             f"dim {meta['dim']}"
         )
-    new_min = emb_ds.min(id_col)
-    if meta.get("max_vec_id") is not None and new_min <= meta["max_vec_id"]:
-        raise ValueError(
-            f"appended {id_col} values must sort after every indexed one "
-            f"(got min {new_min} <= indexed max {meta['max_vec_id']}) — "
-            "duplicate ids would be served twice"
-        )
     t = pq.read_table(out / "centroids.parquet")
     flat = t["centroid"].combine_chunks().flatten().to_numpy(
         zero_copy_only=False
@@ -230,7 +232,22 @@ def append_ann_index(
     assigned.sort("cluster").write_parquet(
         str(tmp), partition_cols=["cluster"]
     )
-    n_new, new_max = _tree_stats(tmp, id_col)
+    n_new, new_max, new_min = _tree_stats(tmp, id_col)
+    # id validation from the written tree's FOOTER stats, not a dedicated
+    # min() pass over the input (which would re-execute a computed
+    # embedding pipeline); a failed check removes the tmp tree and leaves
+    # the index exactly as it was
+    if (
+        meta.get("max_vec_id") is not None
+        and new_min is not None
+        and new_min <= meta["max_vec_id"]
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"appended {id_col} values must sort after every indexed one "
+            f"(got min {new_min} <= indexed max {meta['max_vec_id']}) — "
+            "duplicate ids would be served twice"
+        )
     shutil.rmtree(out / gen, ignore_errors=True)  # orphan of a prior crash
     os.replace(tmp, out / gen)
     prev_max = meta.get("max_vec_id")

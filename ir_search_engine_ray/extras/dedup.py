@@ -129,6 +129,57 @@ def _h_rows_view(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return a.view([("a", np.int64), ("b", np.int64)]).reshape(-1)
 
 
+def _hash_tagged_union(
+    new_docs_ds: ray.data.Dataset,
+    baseline_hashes_ds: ray.data.Dataset,
+    P: int,
+) -> ray.data.Dataset:
+    """(h1, h2, doc_id, part) rows co-partitioning a new shard's content
+    hashes (real doc_ids) with a baseline hash export (doc_id = -1) on
+    the 128-bit hash — the shared scaffolding of
+    :func:`exact_dedup_against` and :func:`ids_in_baseline`; each
+    supplies only its per-partition kernel."""
+    hashed = (
+        new_docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(_text_hash_cols, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
+        )
+    )
+
+    def _part(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                (h1.view(np.uint64) * np.uint64(1_000_003) + h2.view(np.uint64))
+                % np.uint64(P)
+            ).astype(np.int32)
+
+    def tag(is_baseline: bool):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.replace_schema_metadata(None)
+            h1 = b["h1"].to_numpy()
+            h2 = b["h2"].to_numpy()
+            doc = (
+                pa.array(np.full(len(h1), -1, dtype=np.int64))
+                if is_baseline
+                else b["doc_id"].cast(pa.int64())
+            )
+            return pa.table(
+                {
+                    "h1": pa.array(h1),
+                    "h2": pa.array(h2),
+                    "doc_id": doc,
+                    "part": pa.array(_part(h1, h2)),
+                }
+            )
+
+        return f
+
+    return hashed.map_batches(tag(False), batch_format="pyarrow").union(
+        baseline_hashes_ds.map_batches(tag(True), batch_format="pyarrow")
+    )
+
+
 def exact_dedup_against(
     new_docs_ds: ray.data.Dataset,
     baseline_hashes_ds: ray.data.Dataset,
@@ -147,50 +198,7 @@ def exact_dedup_against(
     partition-tagged union + ``groupby(part)`` shuffle of 24-byte rows,
     the ``anti_join_ids`` shape widened to a 128-bit key."""
     P = num_partitions or N_SHUFFLE_PARTS
-
-    hashed = (
-        new_docs_ds.select_columns(["doc_id", "text"])
-        .map_batches(_text_hash_cols, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
-        )
-    )
-
-    def _part(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (
-                (h1.view(np.uint64) * np.uint64(1_000_003) + h2.view(np.uint64))
-                % np.uint64(P)
-            ).astype(np.int32)
-
-    def tag_new(b: pa.Table) -> pa.Table:
-        h1 = b["h1"].to_numpy()
-        h2 = b["h2"].to_numpy()
-        return pa.table(
-            {
-                "h1": pa.array(h1),
-                "h2": pa.array(h2),
-                "doc_id": b["doc_id"],
-                "part": pa.array(_part(h1, h2)),
-            }
-        )
-
-    def tag_base(b: pa.Table) -> pa.Table:
-        b = b.replace_schema_metadata(None)
-        h1 = b["h1"].to_numpy()
-        h2 = b["h2"].to_numpy()
-        return pa.table(
-            {
-                "h1": pa.array(h1),
-                "h2": pa.array(h2),
-                "doc_id": pa.array(np.full(len(h1), -1, dtype=np.int64)),
-                "part": pa.array(_part(h1, h2)),
-            }
-        )
-
-    u = hashed.map_batches(tag_new, batch_format="pyarrow").union(
-        baseline_hashes_ds.map_batches(tag_base, batch_format="pyarrow")
-    )
+    u = _hash_tagged_union(new_docs_ds, baseline_hashes_ds, P)
 
     def resolve(group: pa.Table) -> pa.Table:
         doc = group["doc_id"].to_numpy()
@@ -971,48 +979,10 @@ def ids_in_baseline(
     baseline export — the membership complement of
     :func:`exact_dedup_against`, for pipelines that need a DROP list to
     anti-join (curate's incremental gate).  Same partition-tagged
-    24-byte-row shuffle; no driver-side structure."""
+    24-byte-row shuffle (:func:`_hash_tagged_union`); no driver-side
+    structure."""
     P = num_partitions or N_SHUFFLE_PARTS
-
-    hashed = (
-        docs_ds.select_columns(["doc_id", "text"])
-        .map_batches(_text_hash_cols, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow"
-        )
-    )
-
-    def _part(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            return (
-                (h1.view(np.uint64) * np.uint64(1_000_003) + h2.view(np.uint64))
-                % np.uint64(P)
-            ).astype(np.int32)
-
-    def tag(doc_marker: int | None):
-        def f(b: pa.Table) -> pa.Table:
-            b = b.replace_schema_metadata(None)
-            h1 = b["h1"].to_numpy()
-            h2 = b["h2"].to_numpy()
-            doc = (
-                b["doc_id"].cast(pa.int64())
-                if doc_marker is None
-                else pa.array(np.full(len(h1), doc_marker, dtype=np.int64))
-            )
-            return pa.table(
-                {
-                    "h1": pa.array(h1),
-                    "h2": pa.array(h2),
-                    "doc_id": doc,
-                    "part": pa.array(_part(h1, h2)),
-                }
-            )
-
-        return f
-
-    u = hashed.map_batches(tag(None), batch_format="pyarrow").union(
-        baseline_hashes_ds.map_batches(tag(-1), batch_format="pyarrow")
-    )
+    u = _hash_tagged_union(docs_ds, baseline_hashes_ds, P)
 
     def probe(group: pa.Table) -> pa.Table:
         doc = group["doc_id"].to_numpy()

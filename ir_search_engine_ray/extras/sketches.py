@@ -67,35 +67,36 @@ def _splitmix64(ids: np.ndarray) -> np.ndarray:
 
 
 def _column_hash64(arr) -> np.ndarray:
-    """64-bit hashes of an arrow array/chunked-array: vectorized
-    splitmix64 for null-free integer columns (user ids, fingerprints —
-    the web-scale cardinality case), blake2b text encoding otherwise."""
-    if pa.types.is_integer(arr.type) and arr.null_count == 0:
+    """64-bit hashes of a NULL-FREE arrow array/chunked-array: vectorized
+    splitmix64 for integer columns (user ids, fingerprints — the
+    web-scale cardinality case), blake2b text encoding otherwise.
+
+    The branch keys on the column TYPE only: a per-batch null_count
+    branch would hash the same value differently across batches of one
+    dataset (splitmix in null-free blocks, blake2b elsewhere), silently
+    inflating HLL estimates and breaking partition invariance.  Callers
+    drop nulls first — count-distinct semantics ignore them."""
+    if arr.null_count:
+        raise ValueError("_column_hash64 requires a null-free array")
+    if pa.types.is_integer(arr.type):
         return _splitmix64(
             arr.to_numpy(zero_copy_only=False).astype(np.int64)
         )
     return _hash64(arr.to_pylist())
 
 
-def _batch_registers(batch: pa.Table, *, col: str, p: int) -> pa.Table:
-    m = 1 << p
-    arr = batch[col].combine_chunks()
-    if len(arr) == 0:
-        return pa.table(
-            {
-                "register": pa.array([], type=pa.int32()),
-                "rho": pa.array([], type=pa.int8()),
-            }
-        )
-    h = _column_hash64(arr)
+def _register_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split 64-bit hashes into (register, rho): the top ``p`` bits pick
+    the register, rho is the 1-based position of the leftmost 1-bit in
+    the remaining bits (all-zero remainder -> 64 - p + 1).  Shared by the
+    global and grouped HLL combiners so the bit arithmetic can never
+    drift between them."""
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-    # rho = position of the leftmost 1-bit in the remaining bits (1-based);
-    # all-zero remainder -> 64 - p + 1
     nz = rest != 0
     lead = np.full(h.size, 64 - p + 1, dtype=np.int64)
     if nz.any():
-        # count leading zeros via float64 exponent-free integer log2
+        # leading zeros via a branchless integer binary search
         top = rest[nz]
         bits = np.zeros(top.size, dtype=np.int64)
         cur = top.copy()
@@ -104,6 +105,23 @@ def _batch_registers(batch: pa.Table, *, col: str, p: int) -> pa.Table:
             bits[big] += shift
             cur[big] >>= np.uint64(shift)
         lead[nz] = 64 - 1 - bits + 1  # leading zeros + 1
+    return reg, lead
+
+
+def _batch_registers(batch: pa.Table, *, col: str, p: int) -> pa.Table:
+    m = 1 << p
+    # nulls are not values: count-distinct ignores them (and the hash
+    # kernel requires null-free input — see _column_hash64)
+    arr = batch[col].combine_chunks().drop_null()
+    if len(arr) == 0:
+        return pa.table(
+            {
+                "register": pa.array([], type=pa.int32()),
+                "rho": pa.array([], type=pa.int8()),
+            }
+        )
+    h = _column_hash64(arr)
+    reg, lead = _register_rho(h, p)
     # max rho per register within the batch (combiner): dense scatter-max
     # into the m-slot array — ~70x faster than the lexsort equivalent
     regs = np.zeros(m, dtype=np.int64)
@@ -412,34 +430,31 @@ def _batch_registers_by(
     form of :func:`_batch_registers` (at most groups x 2^p rows, in
     practice the sparse non-zero registers only)."""
     varr = batch[col].combine_chunks()
+    gcol = batch[by].combine_chunks()
+    if pa.types.is_dictionary(gcol.type):
+        gcol = gcol.cast(gcol.type.value_type)
     empty = pa.table(
         {
-            "group": pa.array([], type=batch[by].type),
+            "group": pa.array([], type=gcol.type),
             "register": pa.array([], type=pa.int32()),
             "rho": pa.array([], type=pa.int8()),
         }
     )
+    # drop rows with a null value (not a distinct value) or a null group
+    # key: a null dictionary code casts to INT64_MIN, whose *m offset
+    # wraps to 0 and corrupts the first group's registers
+    ok = pa.compute.and_(
+        pa.compute.is_valid(varr), pa.compute.is_valid(gcol)
+    )
+    if not pa.compute.all(ok).as_py():
+        varr = varr.filter(ok)
+        gcol = gcol.filter(ok)
     if len(varr) == 0:
         return empty
-    gcol = batch[by].combine_chunks()
-    if pa.types.is_dictionary(gcol.type):
-        gcol = gcol.cast(gcol.type.value_type)
     dict_enc = gcol.dictionary_encode()
     gcode = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     h = _column_hash64(varr)
-    reg = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = h << np.uint64(p)
-    nz = rest != 0
-    lead = np.full(h.size, 64 - p + 1, dtype=np.int64)
-    if nz.any():
-        top = rest[nz]
-        bits = np.zeros(top.size, dtype=np.int64)
-        cur = top.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            big = cur >= (np.uint64(1) << np.uint64(shift))
-            bits[big] += shift
-            cur[big] >>= np.uint64(shift)
-        lead[nz] = 64 - 1 - bits + 1
+    reg, lead = _register_rho(h, p)
     m = 1 << p
     ngroups = len(dict_enc.dictionary)
     if ngroups * m <= (1 << 23):

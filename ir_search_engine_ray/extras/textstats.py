@@ -341,10 +341,13 @@ def bigram_pmi(
         )
         cab = brows["cnt"].to_numpy()
         ca = brows["carry"].to_numpy()
-        # float op order mirrors the SQL oracle exactly:
-        # (cnt::DOUBLE * T1 * T1) / (c_a * c_b * T2)::DOUBLE
+        # float op order mirrors the SQL oracle: the oracle's denominator
+        # is HUGEINT-exact (sum() promotes T2), and the float64 product
+        # chain here is identical to that as long as each partial product
+        # stays under 2^53 — an int64 product instead would silently WRAP
+        # at web-corpus counts (c_a*c_b*T2 > 2^63 at ~2e7 tokens)
         num = cab.astype(np.float64) * t1 * t1
-        den = (ca * cb * np.int64(t2)).astype(np.float64)
+        den = ca.astype(np.float64) * cb.astype(np.float64) * t2
         pmi = np.round(np.log(num / den), 6)
         return pa.table(
             {

@@ -93,7 +93,7 @@ def tumbling_distinct_users(
     shuffle — pairs, never events), then the per-window count is a
     window-cardinality-sized second groupby of (window, 1) rows.  For
     approximate counts at lower shuffle cost see
-    ``sketches.grouped_hll_distinct``."""
+    ``sketches.hll_distinct_by``."""
     from ray.data.aggregate import Count
 
     def pairs(batch: pa.Table) -> pa.Table:

@@ -3414,6 +3414,51 @@ class TestHLL:
         with pytest.raises(ValueError, match="p must be"):
             sketches.hll_registers(ds, "v", p=2)
 
+    def test_nullable_int_column_ignores_nulls_and_stays_invariant(
+        self, ray_session
+    ):
+        """Nulls are not values (count-distinct semantics), and the hash
+        choice must depend on the column TYPE, never per-batch null
+        presence — otherwise one user id hashes two ways across blocks
+        and the estimate inflates with the partitioning."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        vals = list(range(12)) * 3 + [None] * 7
+        t = pa.table({"v": pa.array(vals, type=pa.int64())})
+        ests = set()
+        for nb in (1, 5):
+            ds = (
+                ray.data.from_arrow(t).repartition(nb)
+                if nb > 1
+                else ray.data.from_arrow(t)
+            )
+            ests.add(
+                sketches.hll_distinct(ds, "v")["estimate"][0].as_py()
+            )
+        assert ests == {12}  # exact in the linear-counting regime
+
+    def test_grouped_null_group_and_value_rows_dropped(self, ray_session):
+        """A null group code dictionary-encodes to a sentinel whose *m
+        offset would wrap into group 0's registers; null groups and null
+        values must be dropped, leaving other groups untouched."""
+        import ray.data
+
+        from ir_search_engine_ray.extras import sketches
+
+        t = pa.table(
+            {
+                "v": pa.array([1, 2, 3, 4, 5, None, 6], type=pa.int64()),
+                "grp": pa.array(["a", "a", None, "b", "b", "b", None]),
+            }
+        )
+        out = sketches.hll_distinct_by(
+            ray.data.from_arrow(t).repartition(2), "v", "grp"
+        ).to_pandas()
+        got = dict(zip(out["grp"], out["estimate"]))
+        assert got == {"a": 2, "b": 2}
+
     def test_int_fast_path_accuracy_and_invariance(self, ray_session):
         """Null-free integer columns take the vectorized splitmix64 hash:
         same error bound and exact partition invariance as the blake2b
@@ -3437,12 +3482,13 @@ class TestHLL:
             ests.append(est)
             assert abs(est - n) / n < 0.05, est
         assert ests[0] == ests[1]
-        # a null forces the generic path — still works, still deterministic
+        # nulls are dropped (count-distinct semantics) and the column
+        # stays on the splitmix path regardless of null presence
         tn = pa.table({"v": pa.array([1, 2, None, 1], type=pa.int64())})
         got = sketches.hll_distinct(
             ray.data.from_arrow(tn), "v"
         )["estimate"][0].as_py()
-        assert got == 3  # 1, 2, None in the linear-counting regime
+        assert got == 2  # 1, 2 in the linear-counting regime
 
     def test_grouped_matches_global_per_group(self, ray_session):
         """hll_distinct_by(group g) == hll_distinct over g's rows alone
