@@ -377,6 +377,35 @@ def _cmd_freq(args) -> None:
         print(json.dumps({col: item, "cnt": cnt}))
 
 
+def _cmd_pmi(args) -> None:
+    """Top bigram collocations of a documents table by PMI (ties by
+    count desc, ngram asc) — bounded result -> JSON lines."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import textstats
+
+    docs = ray.data.read_parquet(
+        args.documents, columns=["doc_id", "text"], override_num_blocks=16
+    )
+    out = (
+        textstats.bigram_pmi(docs, min_count=args.min_count)
+        .to_pandas()
+        .sort_values(
+            ["pmi", "count", "ngram"],
+            ascending=[False, False, True],
+            ignore_index=True,
+        )
+        .head(args.top)
+    )
+    for r in out.itertuples(index=False):
+        print(
+            json.dumps(
+                {"ngram": r.ngram, "count": int(r.count), "pmi": r.pmi}
+            )
+        )
+
+
 def _cmd_quantiles(args) -> None:
     """Quantiles of a parquet column: exact distinct-value-histogram path
     by default, or the bounded-memory sampled sketch with --sample."""
@@ -926,6 +955,15 @@ def main(argv: list[str] | None = None) -> None:
     fr.add_argument("--tokens", action="store_true",
                     help="count the column's simple-split token stream")
     fr.set_defaults(fn=_cmd_freq)
+
+    pm = sub.add_parser(
+        "pmi",
+        help="top bigram collocations of a documents table by PMI",
+    )
+    pm.add_argument("documents")
+    pm.add_argument("--min-count", type=int, default=2)
+    pm.add_argument("--top", type=int, default=50)
+    pm.set_defaults(fn=_cmd_pmi)
 
     qu = sub.add_parser(
         "quantiles",
