@@ -320,6 +320,7 @@ def _cmd_curate(args) -> None:
         max_dup_span_frac=args.max_dup_span_frac,
         baseline_hashes=baseline_hashes,
         baseline_neardup=baseline_neardup,
+        emit_baseline_dir=args.emit_baseline,
     )
     out.write_parquet(args.out)
     import pyarrow.parquet as pq
@@ -846,6 +847,11 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--baseline-neardup", default=None,
                    help="dedup neardup-export dir (buckets/ + sketches/): "
                         "also drop new docs near-matching the baseline")
+    c.add_argument("--emit-baseline", default=None,
+                   help="append this run's kept docs' exports (hashes/, "
+                        "buckets/, sketches/) into DIR — a rolling "
+                        "baseline: next wave passes --baseline-hashes "
+                        "DIR/hashes --baseline-neardup DIR")
     c.add_argument("--overwrite", action="store_true")
     c.set_defaults(fn=_cmd_curate)
 

@@ -118,6 +118,7 @@ def curate(
     span_k: int = 8,
     baseline_hashes: ray.data.Dataset | None = None,
     baseline_neardup: tuple[ray.data.Dataset, ray.data.Dataset] | None = None,
+    emit_baseline_dir: str | None = None,
 ) -> ray.data.Dataset:
     """documents -> curated (doc_id, n_tokens, n_pieces), streaming.
 
@@ -149,7 +150,14 @@ def curate(
       (:func:`..extras.dedup.export_neardup_baseline`); survivors that
       near-match a baseline doc at ``jaccard_threshold``
       (:func:`..extras.dedup.minhash_pairs_against`) are dropped the
-      same way — in addition to the within-shard near-dup drop."""
+      same way — in addition to the within-shard near-dup drop.
+    - ``emit_baseline_dir``: after the drops, write THIS run's kept docs'
+      exports (``hashes/``, ``buckets/``, ``sketches/``) into the
+      directory — appending new files next to any existing ones, so the
+      same directory is a ROLLING baseline: each wave curates against it
+      and then adds its own survivors for the next wave.  (Parquet row
+      sets union by directory; export parameters must stay constant
+      across waves.)"""
     gated = docs_ds.map_batches(
         quality_lang_gate,
         fn_kwargs={
@@ -213,6 +221,15 @@ def curate(
         )
         # the NEW doc is the pair's doc_a side here
         kept = dedup.anti_join_ids(kept, cross, on="doc_id", ids_col="doc_a")
+    if emit_baseline_dir is not None:
+        # kept feeds the exports AND the accounting below: cache once
+        kept = kept.materialize()
+        dedup.export_content_hashes(kept).write_parquet(
+            f"{emit_baseline_dir}/hashes"
+        )
+        eb, es = dedup.export_neardup_baseline(kept)
+        eb.write_parquet(f"{emit_baseline_dir}/buckets")
+        es.write_parquet(f"{emit_baseline_dir}/sketches")
 
     def account(batch: pa.Table) -> pa.Table:
         toks = textstats.token_count(batch)

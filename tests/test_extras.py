@@ -896,6 +896,48 @@ class TestCurate:
         ).to_pandas()
         assert sorted(out2["doc_id"]) == [101, 102]
 
+    def test_curate_rolling_baseline_two_waves(self, ray_session, tmp_path):
+        """Wave 1 curates and emits its survivors' exports; wave 2 curates
+        against that rolling dir — exact and near copies of wave-1 docs
+        fall away, and wave 2's own survivors append into the dir."""
+        import ray.data
+
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        roll = str(tmp_path / "baseline")
+        w1 = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "notes on the cooling of the turbine blade and the duct flows"),
+        ]
+        out1 = curate(
+            _docs_ds(w1), emit_baseline_dir=roll
+        ).to_pandas()
+        assert sorted(out1["doc_id"]) == [0, 1]
+
+        w2 = [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact == w1 doc 0
+            (101, "notes on the cooling of the turbine blade and the duct walls"),     # near-dup of w1 doc 1
+            (102, "fresh analysis of sediment transport in mountain stream networks"),
+        ]
+        out2 = curate(
+            _docs_ds(w2, num_blocks=2),
+            baseline_hashes=ray.data.read_parquet(f"{roll}/hashes"),
+            baseline_neardup=(
+                ray.data.read_parquet(f"{roll}/buckets"),
+                ray.data.read_parquet(f"{roll}/sketches"),
+            ),
+            emit_baseline_dir=roll,
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == [102]
+
+        # the rolling dir now holds wave-1 AND wave-2 survivors: a third
+        # wave repeating doc 102's text must come out empty
+        out3 = curate(
+            _docs_ds([(200, w2[2][1])]),
+            baseline_hashes=ray.data.read_parquet(f"{roll}/hashes"),
+        ).to_pandas()
+        assert len(out3) == 0
+
     def test_curate_knobs(self, ray_session):
         from ir_search_engine_ray.pipelines.curate import curate
 
