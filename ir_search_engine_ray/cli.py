@@ -378,6 +378,67 @@ def _cmd_freq(args) -> None:
         print(json.dumps({col: item, "cnt": cnt}))
 
 
+def _cmd_split(args) -> None:
+    """Deterministic weighted split assignment, written as hive
+    partitions (one directory per split -> selective later reads)."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import splits as _splits
+
+    _fresh_out_dir(args.out, args.overwrite)
+    pairs = []
+    for part in args.weights.split(","):
+        name, w = part.split("=")
+        pairs.append((name, int(w)))
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = _splits.assign_splits(
+        docs, splits=tuple(pairs), seed=args.seed
+    )
+    out.write_parquet(args.out, partition_cols=["split"])
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    counts = {}
+    for name, _w in pairs:
+        part_dir = Path(args.out) / f"split={name}"
+        counts[name] = (
+            pq.read_table(part_dir, columns=["doc_id"]).num_rows
+            if part_dir.exists()
+            else 0
+        )
+    print(json.dumps({"out": args.out, "n_docs": counts}))
+
+
+def _cmd_mix(args) -> None:
+    """Target-proportion data mixing: sample each stratum toward
+    weights_ppm/1e6 * total docs (small strata kept whole)."""
+    import ray.data
+
+    _ensure_ray()
+    from .extras import splits as _splits
+
+    _fresh_out_dir(args.out, args.overwrite)
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=")
+        weights[name] = int(w)
+    docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
+    out = _splits.target_mix_sample(
+        docs, by=args.by, weights_ppm=weights, total=args.total
+    )
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+    from pathlib import Path as _Path
+
+    n = (
+        pq.read_table(args.out, columns=[args.by]).num_rows
+        if any(_Path(args.out).glob("*.parquet"))
+        else 0
+    )
+    print(json.dumps({"out": args.out, "n_docs": n, "total_target": args.total}))
+
+
 def _cmd_pmi(args) -> None:
     """Top bigram collocations of a documents table by PMI (ties by
     count desc, ngram asc) — bounded result -> JSON lines."""
@@ -961,6 +1022,32 @@ def main(argv: list[str] | None = None) -> None:
     fr.add_argument("--tokens", action="store_true",
                     help="count the column's simple-split token stream")
     fr.set_defaults(fn=_cmd_freq)
+
+    sp = sub.add_parser(
+        "split",
+        help="deterministic weighted train/val/test split -> hive dirs",
+    )
+    sp.add_argument("documents")
+    sp.add_argument("out")
+    sp.add_argument("--weights", default="train=98,val=1,test=1",
+                    help="name=weight comma list (integral shares)")
+    sp.add_argument("--seed", type=int, default=7)
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(fn=_cmd_split)
+
+    mx = sub.add_parser(
+        "mix",
+        help="target-proportion data mixing over a stratum column",
+    )
+    mx.add_argument("documents")
+    mx.add_argument("out")
+    mx.add_argument("--by", default="source")
+    mx.add_argument("--weights", required=True,
+                    help="stratum=ppm comma list (parts per million)")
+    mx.add_argument("--total", type=int, required=True,
+                    help="target sampled corpus size in docs")
+    mx.add_argument("--overwrite", action="store_true")
+    mx.set_defaults(fn=_cmd_mix)
 
     pm = sub.add_parser(
         "pmi",
