@@ -4166,3 +4166,61 @@ class TestPrefixFilterProperty:
                         )
 
         check()
+
+
+class TestSamplingCliVerbs:
+    def test_split_and_mix_verbs(self, ray_session, tmp_path, capsys):
+        import argparse
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        from ir_search_engine_ray.cli import _cmd_mix, _cmd_split
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                "text": pa.array(["w"] * 200),
+                "source": pa.array(["a"] * 150 + ["b"] * 50),
+            }
+        )
+        f = str(tmp_path / "docs.parquet")
+        pq.write_table(t, f)
+
+        _cmd_split(
+            argparse.Namespace(
+                documents=f,
+                out=str(tmp_path / "sp"),
+                weights="train=80,test=20",
+                seed=7,
+                overwrite=False,
+            )
+        )
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        n = rep["n_docs"]
+        assert n["train"] + n["test"] == 200
+        assert n["train"] > n["test"] > 0
+        # hive layout: selective read of one split works
+        assert (
+            pq.read_table(str(tmp_path / "sp" / "split=test")).num_rows
+            == n["test"]
+        )
+
+        _cmd_mix(
+            argparse.Namespace(
+                documents=f,
+                out=str(tmp_path / "mx"),
+                by="source",
+                weights="a=500000,b=500000",
+                total=80,
+                overwrite=False,
+            )
+        )
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = pq.read_table(str(tmp_path / "mx"), columns=["source"])
+        bcount = got.filter(
+            pa.compute.equal(got["source"], "b")
+        ).num_rows
+        # b targets 40 docs but only has 50; a targets 40 of 150
+        assert rep["n_docs"] == got.num_rows
+        assert 25 <= bcount <= 50
