@@ -378,6 +378,30 @@ def _cmd_freq(args) -> None:
         print(json.dumps({col: item, "cnt": cnt}))
 
 
+def _parse_weights(spec: str) -> list[tuple[str, int]]:
+    """'name=int,name=int' -> ordered pairs; shared by split and mix."""
+    pairs = []
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not name or not w:
+            raise SystemExit(
+                f"malformed weights entry {part!r}: expected name=integer"
+            )
+        pairs.append((name, int(w)))
+    return pairs
+
+
+def _dir_row_count(path) -> int:
+    """Row count of a parquet dir from FOOTER metadata only — no data
+    read (the _tree_stats discipline)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    return sum(
+        pq.read_metadata(f).num_rows for f in Path(path).glob("*.parquet")
+    )
+
+
 def _cmd_split(args) -> None:
     """Deterministic weighted split assignment, written as hive
     partitions (one directory per split -> selective later reads)."""
@@ -387,26 +411,18 @@ def _cmd_split(args) -> None:
     from .extras import splits as _splits
 
     _fresh_out_dir(args.out, args.overwrite)
-    pairs = []
-    for part in args.weights.split(","):
-        name, w = part.split("=")
-        pairs.append((name, int(w)))
+    pairs = _parse_weights(args.weights)
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
     out = _splits.assign_splits(
         docs, splits=tuple(pairs), seed=args.seed
     )
     out.write_parquet(args.out, partition_cols=["split"])
-    import pyarrow.parquet as pq
     from pathlib import Path
 
     counts = {}
     for name, _w in pairs:
         part_dir = Path(args.out) / f"split={name}"
-        counts[name] = (
-            pq.read_table(part_dir, columns=["doc_id"]).num_rows
-            if part_dir.exists()
-            else 0
-        )
+        counts[name] = _dir_row_count(part_dir) if part_dir.exists() else 0
     print(json.dumps({"out": args.out, "n_docs": counts}))
 
 
@@ -419,23 +435,13 @@ def _cmd_mix(args) -> None:
     from .extras import splits as _splits
 
     _fresh_out_dir(args.out, args.overwrite)
-    weights = {}
-    for part in args.weights.split(","):
-        name, w = part.split("=")
-        weights[name] = int(w)
+    weights = dict(_parse_weights(args.weights))
     docs = ray.data.read_parquet(args.documents, override_num_blocks=16)
     out = _splits.target_mix_sample(
         docs, by=args.by, weights_ppm=weights, total=args.total
     )
     out.write_parquet(args.out)
-    import pyarrow.parquet as pq
-    from pathlib import Path as _Path
-
-    n = (
-        pq.read_table(args.out, columns=[args.by]).num_rows
-        if any(_Path(args.out).glob("*.parquet"))
-        else 0
-    )
+    n = _dir_row_count(args.out)
     print(json.dumps({"out": args.out, "n_docs": n, "total_target": args.total}))
 
 
@@ -450,15 +456,18 @@ def _cmd_pmi(args) -> None:
     docs = ray.data.read_parquet(
         args.documents, columns=["doc_id", "text"], override_num_blocks=16
     )
+    # distributed sort + limit: only the top rows ever reach the driver
+    # (a web-scale bigram vocabulary must not to_pandas in full)
     out = (
         textstats.bigram_pmi(docs, min_count=args.min_count)
+        .sort(["pmi", "count", "ngram"], descending=[True, True, False])
+        .limit(args.top)
         .to_pandas()
         .sort_values(
             ["pmi", "count", "ngram"],
             ascending=[False, False, True],
             ignore_index=True,
         )
-        .head(args.top)
     )
     for r in out.itertuples(index=False):
         print(

@@ -73,6 +73,35 @@ def quality_lang_gate(
     return batch.select(["doc_id", "text"]).filter(pa.array(keep))
 
 
+def _emit_baseline(kept_ds: ray.data.Dataset, out_dir: str) -> None:
+    """Append ``kept_ds``'s dedup exports (hashes/, buckets/, sketches/)
+    into ``out_dir``.  Guarantees each subdir exists with at least one
+    parquet file — Ray's write_parquet emits nothing for an empty
+    dataset, and a wave that keeps zero docs must still leave a readable
+    (empty) baseline for the next wave's reads."""
+    import pyarrow.parquet as _pq
+    from pathlib import Path as _Path
+
+    dedup.export_content_hashes(kept_ds).write_parquet(f"{out_dir}/hashes")
+    eb, es = dedup.export_neardup_baseline(kept_ds)
+    eb.write_parquet(f"{out_dir}/buckets")
+    es.write_parquet(f"{out_dir}/sketches")
+    empties = {
+        "hashes": pa.schema([("h1", pa.int64()), ("h2", pa.int64())]),
+        "buckets": pa.schema(
+            [("band", pa.int32()), ("bucket", pa.int64()), ("doc_id", pa.int64())]
+        ),
+        "sketches": pa.schema(
+            [("doc_id", pa.int64()), ("sh", pa.large_binary())]
+        ),
+    }
+    for sub, schema in empties.items():
+        d = _Path(out_dir) / sub
+        d.mkdir(parents=True, exist_ok=True)
+        if not any(d.glob("*.parquet")):
+            _pq.write_table(schema.empty_table(), d / "empty.parquet")
+
+
 def exact_survivors(docs_ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, text) with the minimum doc_id per distinct text.
 
@@ -175,7 +204,11 @@ def curate(
         gated = gated.materialize()
         if gated.count() == 0:
             # nothing survived the quality gate: skip the logprob pass
-            # (whose corpus-distribution fit would raise on zero tokens)
+            # (whose corpus-distribution fit would raise on zero tokens).
+            # A rolling baseline must still be (re)created on this path so
+            # the next wave's reads find it.
+            if emit_baseline_dir is not None:
+                _emit_baseline(gated, emit_baseline_dir)
             return ray.data.from_arrow(
                 pa.table(
                     {
@@ -224,12 +257,7 @@ def curate(
     if emit_baseline_dir is not None:
         # kept feeds the exports AND the accounting below: cache once
         kept = kept.materialize()
-        dedup.export_content_hashes(kept).write_parquet(
-            f"{emit_baseline_dir}/hashes"
-        )
-        eb, es = dedup.export_neardup_baseline(kept)
-        eb.write_parquet(f"{emit_baseline_dir}/buckets")
-        es.write_parquet(f"{emit_baseline_dir}/sketches")
+        _emit_baseline(kept, emit_baseline_dir)
 
     def account(batch: pa.Table) -> pa.Table:
         toks = textstats.token_count(batch)

@@ -938,6 +938,34 @@ class TestCurate:
         ).to_pandas()
         assert len(out3) == 0
 
+    def test_rolling_baseline_survives_empty_wave(self, ray_session, tmp_path):
+        """A wave whose quality gate drops EVERYTHING (via the min_logprob
+        early return) must still create/refresh the rolling baseline dirs
+        so the next wave's reads find them (empty, not missing)."""
+        import ray.data
+
+        from ir_search_engine_ray.pipelines.curate import curate
+
+        roll = str(tmp_path / "roll")
+        out = curate(
+            _docs_ds([(0, "xx")]),  # below min_tokens -> gate drops it
+            min_logprob=-1.0,
+            emit_baseline_dir=roll,
+        ).to_pandas()
+        assert len(out) == 0
+        hashes = ray.data.read_parquet(f"{roll}/hashes")
+        assert hashes.count() == 0
+        # next wave curates against the empty baseline without error
+        nxt = curate(
+            _docs_ds([(10, "the quick brown fox jumps over the lazy dog")]),
+            baseline_hashes=hashes,
+            baseline_neardup=(
+                ray.data.read_parquet(f"{roll}/buckets"),
+                ray.data.read_parquet(f"{roll}/sketches"),
+            ),
+        ).to_pandas()
+        assert sorted(nxt["doc_id"]) == [10]
+
     def test_curate_knobs(self, ray_session):
         from ir_search_engine_ray.pipelines.curate import curate
 
