@@ -1516,3 +1516,81 @@ class TestFuzzyQueryExpansion:
             assert eng.proximity_query(
                 "spanwize rises", 2, fuzzy=True
             ) == eng.proximity_query("spanwise rises", 2), df_mem
+
+
+class TestEndToEndRecipe:
+    def test_jsonl_to_training_data_and_index(self, ray_session, tmp_path):
+        """The README's end-to-end recipe as one test: JSONL shards ->
+        curate (with a rolling baseline) -> chunk -> pack, plus an index
+        build + query over the same corpus.  Every stage consumes the
+        previous stage's real on-disk output."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from ir_search_engine_ray.config import IndexConfig, QueryConfig
+        from ir_search_engine_ray.extras import packing
+        from ir_search_engine_ray.pipelines.curate import curate
+        from ir_search_engine_ray.pipelines.index_build import build_index
+        from ir_search_engine_ray.pipelines.query import QueryEngine
+        from ir_search_engine_ray.sources.transcripts import (
+            jsonl_to_transcripts,
+        )
+
+        # 1. ingest: two JSONL shards, one near-dup and one exact dup
+        src = tmp_path / "shards"
+        src.mkdir()
+        rows = [
+            {"text": "the boundary layer flow over the wing was measured"},
+            {"text": "the boundary layer flow over the wing was measured"},  # exact dup
+            {"text": "heat transfer in the supersonic nozzle was the study"},
+            {"text": "x y"},  # fails the quality gate (too short)
+        ]
+        (src / "a.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows[:2])
+        )
+        (src / "b.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows[2:])
+        )
+        tr_dir = jsonl_to_transcripts(src, tmp_path / "tr")
+
+        # 2. curate over the ingested docs (transcripts map 1 doc per row
+        #    here; treat conv order as doc_id like the index does)
+        t = pq.read_table(tr_dir).sort_by("conv_id")
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(t.num_rows, dtype=np.int64)
+                    ),
+                    "text": t["text"],
+                }
+            )
+        )
+        kept = curate(
+            docs, emit_baseline_dir=str(tmp_path / "roll")
+        ).to_pandas()
+        # exact dup collapsed, short doc gated, two survivors
+        assert len(kept) == 2
+
+        # 3. chunk + pack the survivors
+        kept_ids = pa.array(kept["doc_id"].to_numpy())
+        surv = docs.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(b["doc_id"], value_set=kept_ids)
+            ),
+            batch_format="pyarrow",
+        )
+        chunks = packing.chunk_documents(
+            surv, window=4, stride=3
+        ).to_pandas()
+        assert set(chunks["doc_id"]) == set(kept["doc_id"])
+        packed = packing.pack_sequences(surv, max_tokens=8).to_pandas()
+        assert packed["n_tokens"].sum() == kept["n_tokens"].sum()
+
+        # 4. index + query the ingested corpus
+        meta = build_index(tr_dir, tmp_path / "idx", IndexConfig())
+        eng = QueryEngine(meta, QueryConfig(num_actors=1))
+        got = eng.query("boundary layer")
+        assert got and got[0]["conv_id"] == "a.jsonl:0"
